@@ -1,0 +1,101 @@
+"""Ops vs torch oracles: bilinear resize, grid_sample, correlation/soft-argmax."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from coponerf_tpu.ops import (  # noqa: E402
+    resize_nchw,
+    interpolate4d,
+    grid_sample_nchw,
+    correlation,
+    soft_argmax,
+    unnormalise_and_convert_mapping_to_flow,
+)
+
+RNG = np.random.RandomState(0)
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+@pytest.mark.parametrize("shape", [((2, 3, 8, 8), (16, 16)), ((1, 4, 16, 16), (7, 5)), ((2, 2, 5, 9), (10, 18))])
+def test_resize_matches_torch(align_corners, shape):
+    in_shape, out_hw = shape
+    x = RNG.randn(*in_shape).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x), size=out_hw, mode="bilinear", align_corners=align_corners).numpy()
+    got = np.asarray(resize_nchw(jnp.asarray(x), out_hw, align_corners=align_corners))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_grid_sample_matches_torch(padding_mode):
+    img = RNG.randn(2, 5, 9, 7).astype(np.float32)
+    # include out-of-bounds and extreme coords
+    grid = (RNG.rand(2, 11, 13, 2).astype(np.float32) * 4 - 2)
+    grid[0, 0, 0] = [1e9, -1e9]
+    ref = F.grid_sample(
+        torch.from_numpy(img), torch.from_numpy(grid),
+        mode="bilinear", padding_mode=padding_mode, align_corners=False,
+    ).numpy()
+    got = np.asarray(grid_sample_nchw(jnp.asarray(img), jnp.asarray(grid), padding_mode=padding_mode))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_grid_sample_nan_coords_zero_padding():
+    img = np.ones((1, 2, 4, 4), np.float32)
+    grid = np.full((1, 1, 3, 2), np.nan, np.float32)
+    got = np.asarray(grid_sample_nchw(jnp.asarray(img), jnp.asarray(grid), padding_mode="zeros"))
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, 0.0)
+
+
+def test_correlation_matches_einsum_oracle():
+    src = RNG.randn(2, 6, 5, 8).astype(np.float32)  # NHWC
+    trg = RNG.randn(2, 6, 5, 8).astype(np.float32)
+    got = np.asarray(correlation(jnp.asarray(src), jnp.asarray(trg)))
+
+    s = torch.from_numpy(src).permute(0, 3, 1, 2)
+    t = torch.from_numpy(trg).permute(0, 3, 1, 2)
+    s = s / (s.norm(dim=1, keepdim=True) + 1e-5)
+    t = t / (t.norm(dim=1, keepdim=True) + 1e-5)
+    ref = torch.einsum("bchw,bcxy->bhwxy", s, t).numpy()
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_soft_argmax_recovers_shifted_identity():
+    # correlation that puts all mass for target pixel (i, j) at source (i, j)
+    h = w = 8
+    corr = np.zeros((1, h * w, h, w), np.float32)
+    for i in range(h):
+        for j in range(w):
+            corr[0, i * w + j, i, j] = 50.0
+    gx, gy = soft_argmax(jnp.asarray(corr), beta=0.02)
+    xs = np.linspace(-1, 1, w, dtype=np.float32)
+    ys = np.linspace(-1, 1, h, dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(gx)[0, 0], np.tile(xs, (h, 1)), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gy)[0, 0], np.tile(ys[:, None], (1, w)), atol=1e-3)
+
+
+def test_mapping_to_flow_zero_for_identity():
+    h = w = 6
+    xs = np.linspace(-1, 1, w, dtype=np.float32)
+    ys = np.linspace(-1, 1, h, dtype=np.float32)
+    mapping = np.stack([np.tile(xs, (h, 1)), np.tile(ys[:, None], (1, w))])[None]
+    flow = np.asarray(unnormalise_and_convert_mapping_to_flow(jnp.asarray(mapping)))
+    np.testing.assert_allclose(flow, 0.0, atol=1e-5)
+
+
+def test_interpolate4d_matches_torch_two_pass():
+    x = RNG.randn(1, 2, 4, 4, 4, 4).astype(np.float32)
+    got = np.asarray(interpolate4d(jnp.asarray(x), (8, 8, 8, 8)))
+
+    tx = torch.from_numpy(x)
+    B, C, Hs, Ws, Ht, Wt = tx.shape
+    t = tx.reshape(B, C * Hs * Ws, Ht, Wt)
+    t = F.interpolate(t, size=(8, 8), mode="bilinear", align_corners=True)
+    t = t.reshape(B, C, Hs, Ws, 8, 8).permute(0, 1, 4, 5, 2, 3).reshape(B, C * 64, Hs, Ws)
+    t = F.interpolate(t, size=(8, 8), mode="bilinear", align_corners=True)
+    ref = t.reshape(B, C, 8, 8, 8, 8).permute(0, 1, 4, 5, 2, 3).numpy()
+    np.testing.assert_allclose(got, ref, atol=1e-5)
