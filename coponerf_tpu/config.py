@@ -1,0 +1,87 @@
+"""Configuration tree for the CoPoNeRF-TPU framework.
+
+One dataclass per subsystem; the reference's hardcoded constants
+(npoints=64 CoPoNeRF.py:24, 18 eval chunks test.py:176, sparsity 192
+train.py:87, frame separation 50 realestate10k_dataio.py:283, ...) are
+promoted to fields with the reference values as defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    n_view: int = 2
+    npoints: int = 64               # epipolar samples per ray
+    num_hidden_units_phi: int = 128
+    latent_dim: int = 832           # 3*256 (UFC) + 64 (conv_map)
+    hidden_dim: int = 128           # attention key/query width
+    repeat_attention: bool = True
+    corr_heads: int = 8
+    mask_upsample: int = 256        # cyclic-consistency mask resolution
+    # compute dtype for the conv/matmul-heavy encoder+UFC path ("float32" or
+    # "bfloat16"); geometry and the render attention stay float32.
+    compute_dtype: str = "float32"
+    use_pallas: bool = True         # Pallas kernels for hot ops on TPU
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    l2_coeff: float = 0.05
+    depth: bool = False
+    pose: bool = False
+    cycle: bool = False
+    ssim: bool = False
+    w_cycle: float = 0.01
+    w_ssim: float = 1.0
+    w_pose: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 5e-5 * 4
+    lr_decay: float = 0.95          # per-epoch exponential decay
+    batch_size: int = 12
+    num_epochs: int = 40001
+    query_sparsity: int = 192
+    clip_grad_norm: float = 1.0
+    steps_til_summary: int = 500
+    epochs_til_ckpt: int = 100
+    iters_til_ckpt: int = 10000
+    seed: int = 0
+    mesh_shape: Tuple[int, ...] = (-1,)   # 1-D data-parallel mesh by default
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    img_root: str = ""
+    pose_root: str = ""
+    dataset: str = "realestate10k"  # realestate10k | acid | synthetic
+    num_ctxt_views: int = 2
+    num_query_views: int = 1
+    image_size: int = 256
+    n_skip: int = 50                # eval frame skip
+    nframe_view: int = 50           # min context frame separation (ACID: 92)
+    query_window: int = 32          # query frame window around contexts
+    overlap_table: Optional[str] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    chunks: int = 18
+    batch_size: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    logging_root: str = "logs"
+    experiment_name: str = "default"

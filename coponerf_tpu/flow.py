@@ -47,14 +47,19 @@ def get_gt_correspondence_mask(flow: jnp.ndarray) -> jnp.ndarray:
     return mask_x & mask_y
 
 
-def cyclic_consistency_masks(flow_fwd: jnp.ndarray, flow_bwd: jnp.ndarray, out_size: int = 256, threshold: float = 10.0):
+def cyclic_consistency_masks(flow_fwd: jnp.ndarray, flow_bwd: jnp.ndarray, out_size: int = 256, threshold: float = 10.0, scale: float | None = None):
     """Upsample both flows to ``out_size`` and compute the two forward-backward
-    consistency masks the renderer and SSIM loss use
-    (models/CoPoNeRF.py:230-236, models/loss_function.py:110-118).
+    consistency masks the renderer and SSIM loss use.
 
-    Returns (up_flow_fwd, up_flow_bwd, mask_fwd, mask_bwd)."""
+    ``scale`` multiplies the flow values after upsampling.  The reference uses
+    two DIFFERENT conventions that we replicate: the loss scales by
+    out_size/flow_h (loss_function.py:110-113, geometrically correct) while
+    the renderer scales by out_size/image_h == 1 (CoPoNeRF.py:230-231, so its
+    matchability masks are built from 4x-understated flows).  Default: the
+    geometrically correct out_size/flow_h."""
     h = flow_fwd.shape[-2]
-    scale = out_size / h
+    if scale is None:
+        scale = out_size / h
     up_fwd = resize_nchw(flow_fwd, (out_size, out_size), align_corners=False) * scale
     up_bwd = resize_nchw(flow_bwd, (out_size, out_size), align_corners=False) * scale
     err_fwd = jnp.linalg.norm(up_fwd + warp(up_bwd, up_fwd), axis=1) <= threshold

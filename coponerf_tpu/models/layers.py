@@ -1,0 +1,120 @@
+"""Shared flax building blocks with torch-matching default initializers,
+so training-from-scratch has the same parameter statistics as the reference
+and imported torch checkpoints drop into identically-shaped trees."""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.nn.initializers import variance_scaling
+
+# torch nn.Linear / nn.Conv2d default: kaiming_uniform(a=sqrt(5)) on weights
+# == U(-1/sqrt(fan_in), 1/sqrt(fan_in)); bias U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+# variance_scaling(1/3, fan_in, uniform) gives bound sqrt(3*(1/3)/fan_in) = 1/sqrt(fan_in).
+torch_kernel_init = variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+# kaiming_normal(fan_in, a=0): N(0, sqrt(2/fan_in)) — used by the reference's
+# light-field decoder (models/lightfield.py:35-38).
+kaiming_normal_init = variance_scaling(2.0, "fan_in", "normal")
+
+
+def torch_bias_init(kernel_fan_in: int):
+    bound = 1.0 / (kernel_fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Dense(nn.Module):
+    """nn.Dense with torch default init (weights and bias)."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Optional[Callable] = None
+    bias_zero: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        bias_init = nn.initializers.zeros if self.bias_zero else torch_bias_init(fan_in)
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init or torch_kernel_init,
+            bias_init=bias_init,
+        )(x)
+
+
+class MLPSeq(nn.Module):
+    """A stack of Dense layers with an activation in between (and optionally
+    before/after), mirroring the reference's nn.Sequential regressors."""
+
+    features: Sequence[int]
+    act: Callable = nn.relu
+    act_first: bool = False
+    act_last: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.act_first:
+            x = self.act(x)
+        for i, f in enumerate(self.features):
+            x = Dense(f, name=f"fc{i}")(x)
+            if i < len(self.features) - 1 or self.act_last:
+                x = self.act(x)
+        return x
+
+
+class TransformerMlp(nn.Module):
+    """fc1 -> GELU -> fc2 (timm-style Mlp, backbone.py:107-125)."""
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = Dense(self.hidden, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = Dense(self.out, name="fc2")(x)
+        return x
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with torch eps."""
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=1e-5)(x)
+
+
+def group_norm_nd(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, num_groups: int, eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm over (C, *spatial) for tensors laid out (B, C, *spatial),
+    matching torch.nn.GroupNorm on arbitrary-rank inputs (used on 6D
+    correlation volumes, models/conv4d.py:151)."""
+    b, c = x.shape[:2]
+    spatial = x.shape[2:]
+    g = num_groups
+    xg = x.reshape(b, g, -1)
+    mean = jnp.mean(xg, axis=-1, keepdims=True)
+    var = jnp.var(xg, axis=-1, keepdims=True)
+    xg = (xg - mean) / jnp.sqrt(var + eps)
+    x = xg.reshape(b, c, *spatial)
+    shape = (1, c) + (1,) * len(spatial)
+    return x * scale.reshape(shape) + bias.reshape(shape)
+
+
+class GroupNormND(nn.Module):
+    """GroupNorm module for (B, C, *spatial) tensors of any rank."""
+
+    num_groups: int
+    num_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.num_channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.num_channels,))
+        return group_norm_nd(x, scale, bias, self.num_groups)

@@ -1,0 +1,335 @@
+"""UFC feature & cost aggregation — the correspondence engine.
+
+Parity target: models/aggregation.py:84-562.  Three coarse-to-fine stages
+(16^2, 32^2, 64^2 feature grids) x [2, 2, 1] UFCLayers.  The correlation
+volume is kept at 16^4 with 8 heads throughout (the strided Encoder4D
+embeddings reduce finer correlations to 16^4); features and correlation are
+refined jointly by linear attention, 4D-conv MLPs, and a dual-softmax cross
+update, with residual upsampling across stages.  The final flows come from a
+soft-argmax over the average of the three correlations upsampled to 64^4.
+
+Token layout is row-major (B, H*W, C); correlation layout is the reference's
+(B, L, H_src, W_src, H_trg, W_trg); feature maps are NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from coponerf_tpu.models.conv4d import Encoder4D
+from coponerf_tpu.models.layers import Dense
+from coponerf_tpu.ops.correlation import (
+    correlation_tokens,
+    soft_argmax,
+    unnormalise_and_convert_mapping_to_flow,
+)
+from coponerf_tpu.ops.resize import resize_bilinear
+
+
+def _trunc_normal(std):
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+def linear_attention(q, k, v, eps: float = 1e-6):
+    """'Transformers are RNNs' elu-kernel linear attention
+    (models/aggregation.py:84-117).  q/k: (N, L, H, D); v: (N, S, H, V)."""
+    Q = nn.elu(q) + 1.0
+    K = nn.elu(k) + 1.0
+    v_length = v.shape[1]
+    values = v / v_length
+    KV = jnp.einsum("nshd,nshv->nhdv", K, values)
+    Z = 1.0 / (jnp.einsum("nlhd,nhd->nlh", Q, K.sum(axis=1)) + eps)
+    out = jnp.einsum("nlhd,nhdv,nlh->nlhv", Q, KV, Z) * v_length
+    return out
+
+
+def corr_to_feat_tokens(corr: jnp.ndarray, feat_hw: Tuple[int, int]) -> jnp.ndarray:
+    """(B, H, Hs, Ws, Ht, Wt) -> tokens (B, feat_h*feat_w, H*Ht*Wt): flatten
+    heads x target into channels over the source grid and resize."""
+    b, h, hs, ws, ht, wt = corr.shape
+    x = jnp.transpose(corr, (0, 1, 4, 5, 2, 3)).reshape(b, h * ht * wt, hs, ws)
+    x = resize_bilinear(x, feat_hw, align_corners=True, axes=(-2, -1))
+    x = x.reshape(b, h * ht * wt, feat_hw[0] * feat_hw[1])
+    return jnp.swapaxes(x, 1, 2)
+
+
+def feat_tokens_to_corr(tokens: jnp.ndarray, heads: int, trg_hw: Tuple[int, int], src_hw: Tuple[int, int]) -> jnp.ndarray:
+    """tokens (B, N, H, Ht*Wt) over an N=(h*w) source grid -> correlation
+    (B, H, src_h, src_w, Ht, Wt), resizing the source grid to src_hw."""
+    b, n, h, twt = tokens.shape
+    ht, wt = trg_hw
+    grid = int(round(n ** 0.5))
+    x = jnp.transpose(tokens, (0, 2, 3, 1)).reshape(b, h * twt, grid, grid)
+    x = resize_bilinear(x, src_hw, align_corners=True, axes=(-2, -1))
+    return x.reshape(b, h, ht, wt, src_hw[0], src_hw[1]).transpose(0, 1, 4, 5, 2, 3)
+
+
+class TokenMLP(nn.Module):
+    """Linear -> depthwise 3x3 conv (on the token grid) -> GELU -> Linear
+    (models/aggregation.py:184-189 with DWConv:18-28)."""
+
+    d_model: int
+    hidden: int
+    feat_hw: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, _ = x.shape
+        h, w = self.feat_hw
+        x = Dense(self.hidden, name="fc1")(x)
+        x = x.reshape(b, h, w, self.hidden)
+        from coponerf_tpu.models.layers import torch_bias_init, torch_kernel_init
+
+        x = nn.Conv(
+            self.hidden,
+            (3, 3),
+            padding=1,
+            feature_group_count=self.hidden,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(9),
+            name="dwconv",
+        )(x)
+        x = x.reshape(b, n, self.hidden)
+        x = nn.gelu(x, approximate=False)
+        x = Dense(self.d_model, name="fc2")(x)
+        return x
+
+
+def _encoder4d_args(levels, k, s, p, groups):
+    kk = (k, k, k, k)
+    return dict(
+        corr_levels=levels,
+        kernel_size=tuple((kk,) * (len(levels) - 1)),
+        stride=tuple(((s, s, s, s),) * (len(levels) - 1)),
+        padding=tuple(((p, p, p, p),) * (len(levels) - 1)),
+        group=groups,
+    )
+
+
+class UFCLayer(nn.Module):
+    feat_dim: int = 256
+    corr_size: int = 16
+    d_model: int = 256
+    nhead: int = 8
+    expand_ratio: float = 4.0
+    feat_size: Tuple[int, int] = (16, 16)
+    feat_to_corr_kernel: int = 3
+    feat_to_corr_stride: int = 1
+    feat_to_corr_pad: int = 1
+
+    def setup(self):
+        h = self.nhead
+        self.dim = self.d_model // h
+        self.q_proj = Dense(self.d_model, name="q_proj")
+        self.k_proj = Dense(self.d_model, name="k_proj")
+        self.v_proj = Dense(self.d_model, name="v_proj")
+        self.v_proj_corr = Encoder4D(**_encoder4d_args((h, h), 3, 1, 1, (1,)), name="v_proj_corr")
+        self.mlp = TokenMLP(self.d_model, int(self.d_model * self.expand_ratio), self.feat_size, name="mlp")
+        self.mlp_corr = Encoder4D(**_encoder4d_args((h, h * 4, h), 3, 1, 1, (1, 1)), name="mlp_corr")
+        self.mlp_cross = TokenMLP(self.d_model, int(self.d_model * self.expand_ratio), self.feat_size, name="mlp_cross")
+        self.mlp_refine_corr = Encoder4D(**_encoder4d_args((h, h * 4, h), 3, 1, 1, (1, 1)), name="mlp_refine_corr")
+        self.mlp_refine_corr2 = Encoder4D(**_encoder4d_args((h, h * 4, h), 3, 1, 1, (1, 1)), name="mlp_refine_corr2")
+        f2c = _encoder4d_args((1, h), self.feat_to_corr_kernel, self.feat_to_corr_stride, self.feat_to_corr_pad, (1,))
+        self.feat_to_corr1 = Encoder4D(**f2c, name="feat_to_corr1")
+        self.feat_to_corr2 = Encoder4D(**f2c, name="feat_to_corr2")
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
+        self.v_cross = Dense(self.d_model, name="v_cross")
+        self.norm_cross1 = nn.LayerNorm(epsilon=1e-5, name="norm_cross1")
+        self.norm_cross2 = nn.LayerNorm(epsilon=1e-5, name="norm_cross2")
+        self.pos_embed = self.param(
+            "pos_embed", _trunc_normal(0.02), (1, self.feat_size[0] ** 2, 1, self.dim)
+        )
+
+    def forward_attention(self, corr, feat):
+        """Joint self-attention over [corr || feat] tokens that refines both
+        the features and the correlation (models/aggregation.py:269-310)."""
+        B, H, H_s, W_s, H_t, W_t = corr.shape
+        feat_r = feat
+        feat = self.norm1(feat)
+
+        corr_tok = corr_to_feat_tokens(corr, self.feat_size)  # (B, N, H*Ht*Wt)
+        cf = jnp.concatenate([corr_tok, feat], axis=-1)
+
+        query = self.q_proj(cf).reshape(B, -1, self.nhead, self.dim) + self.pos_embed
+        key = self.k_proj(cf).reshape(B, -1, self.nhead, self.dim) + self.pos_embed
+        value_feat = self.v_proj(feat).reshape(B, -1, self.nhead, self.dim)
+
+        vc = self.v_proj_corr(corr)
+        value_corr = corr_to_feat_tokens(vc, self.feat_size).reshape(
+            B, self.feat_size[0] * self.feat_size[1], self.nhead, H_t * W_t
+        )
+
+        msg_feat = linear_attention(query, key, value_feat).reshape(B, -1, self.nhead * self.dim)
+        msg_corr = linear_attention(query, key, value_corr)
+        msg_corr = feat_tokens_to_corr(msg_corr, self.nhead, (H_t, W_t), (H_s, W_s))
+
+        msg_feat = feat_r + msg_feat
+        msg_corr = corr + msg_corr
+        msg_feat = msg_feat + self.mlp(self.norm2(msg_feat))
+        msg_corr = msg_corr + self.mlp_corr(msg_corr)
+        return msg_corr, msg_feat
+
+    def forward_cross(self, corr, src_feat, trg_feat):
+        """Dual-softmax cross-attention feature update
+        (models/aggregation.py:312-340)."""
+        B, H, H_s, W_s, H_t, W_t = corr.shape
+        c = corr.reshape(B, H, H_s * W_s, H_t * W_t)
+        fh, fw = self.feat_size
+        p1, p2 = fh // H_s, fw // W_s
+
+        def pool_tokens(tokens, gh, gw):
+            x = tokens.reshape(B, fh // gh, gh, fw // gw, gw, self.d_model)
+            return x.mean(axis=(2, 4)).reshape(B, -1, self.d_model)
+
+        src_r = pool_tokens(src_feat, p1, p2)
+        trg_r = pool_tokens(trg_feat, fh // H_t, fw // W_t)
+
+        trg_v = self.v_cross(self.norm_cross1(trg_r)).reshape(B, -1, self.nhead, self.dim)
+        src_v = self.v_cross(self.norm_cross1(src_r)).reshape(B, -1, self.nhead, self.dim)
+
+        src_attn = jnp.einsum("bhst,bthc->bshc", nn.softmax(c, axis=-1), trg_v).reshape(B, -1, self.d_model)
+        trg_attn = jnp.einsum("bhst,bshc->bthc", nn.softmax(c, axis=-2), src_v).reshape(B, -1, self.d_model)
+
+        def unpool_tokens(tokens, gh, gw, ph, pw):
+            x = tokens.reshape(B, gh, gw, self.d_model)
+            x = jnp.repeat(jnp.repeat(x, ph, axis=1), pw, axis=2)
+            return x.reshape(B, -1, self.d_model)
+
+        src_attn = unpool_tokens(src_attn, H_s, W_s, p1, p2)
+        trg_attn = unpool_tokens(trg_attn, H_t, W_t, fh // H_t, fw // W_t)
+
+        src_feat = src_feat + src_attn
+        trg_feat = trg_feat + trg_attn
+        src_feat = src_feat + self.mlp_cross(self.norm_cross2(src_feat))
+        trg_feat = trg_feat + self.mlp_cross(self.norm_cross2(trg_feat))
+        return src_feat, trg_feat
+
+    def __call__(self, corr, src_feat, trg_feat, refine_last_corr: bool = True):
+        corr_src, src_ref = self.forward_attention(corr, src_feat)
+        corr_trg, trg_ref = self.forward_attention(
+            jnp.transpose(corr, (0, 1, 4, 5, 2, 3)), trg_feat
+        )
+        corr_r = corr_src + jnp.transpose(corr_trg, (0, 1, 4, 5, 2, 3))
+        corr_r = corr_r + self.feat_to_corr1(correlation_tokens(src_ref, trg_ref, self.feat_size))
+        corr_r = corr_r + self.mlp_refine_corr(corr_r)
+
+        src_ref, trg_ref = self.forward_cross(corr_r, src_ref, trg_ref)
+
+        if refine_last_corr:
+            corr_r = corr_r + self.feat_to_corr2(correlation_tokens(src_ref, trg_ref, self.feat_size))
+            corr_r = corr_r + self.mlp_refine_corr2(corr_r)
+        return corr_r, src_ref, trg_ref
+
+
+class UFC(nn.Module):
+    """Three-stage coarse-to-fine aggregation (models/aggregation.py:358-562).
+
+    Stage grid sizes are derived from the input pyramid (16/32/64 for a 256^2
+    image; scales with input resolution), so the module works unchanged at
+    the 128^2 parity config."""
+
+    nhead: int = 8
+    feat_dim: Sequence[int] = (256, 256, 256)
+    layer_nums: Sequence[int] = (2, 2, 1)
+    f2c_kernel: Sequence[int] = (3, 3, 5)
+    f2c_stride: Sequence[int] = (1, 2, 4)
+    f2c_pad: Sequence[int] = (1, 1, 2)
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], nview: int = 2):
+        """feats: 3 NHWC maps (B*nview, H, W, C), coarse to fine (x2 each).
+
+        Returns (feat_list [3 NHWC maps (B*nview, H, W, 256)],
+                 (flow, flow_flip, mapping_fwd, mapping_bwd), c).
+        """
+        B2 = feats[0].shape[0]
+        B = B2 // nview
+        stage_hw = [f.shape[1] for f in feats]
+        layers = [
+            [
+                UFCLayer(
+                    feat_dim=self.feat_dim[s],
+                    corr_size=stage_hw[0],
+                    d_model=self.feat_dim[s],
+                    nhead=self.nhead,
+                    feat_size=(stage_hw[s], stage_hw[s]),
+                    feat_to_corr_kernel=self.f2c_kernel[s],
+                    feat_to_corr_stride=self.f2c_stride[s],
+                    feat_to_corr_pad=self.f2c_pad[s],
+                    name=f"layers_{s}_{i}",
+                )
+                for i in range(self.layer_nums[s])
+            ]
+            for s in range(3)
+        ]
+        embedding = [
+            Encoder4D(
+                **_encoder4d_args((1, self.nhead), self.f2c_kernel[s], self.f2c_stride[s], self.f2c_pad[s], (1,)),
+                name=f"embedding_{s}",
+            )
+            for s in range(3)
+        ]
+        proj_feat = [Dense(self.feat_dim[s], name=f"proj_feat_{s}") for s in range(3)]
+        src_tok, trg_tok = [], []
+        for i, f in enumerate(feats):
+            h, w, c = f.shape[1:]
+            fv = f.reshape(B, nview, h, w, c)
+            src = fv[:, 0].reshape(B, h * w, c)
+            trg = fv[:, 1].reshape(B, h * w, c)
+            src_tok.append(nn.relu(proj_feat[i](src)))
+            trg_tok.append(nn.relu(proj_feat[i](trg)))
+
+        def interp_tokens(tokens, out_hw):
+            b, n, c = tokens.shape
+            g = int(round(n ** 0.5))
+            x = tokens.reshape(b, g, g, c)
+            x = resize_bilinear(x, out_hw, align_corners=True, axes=(1, 2))
+            return x.reshape(b, out_hw[0] * out_hw[1], c)
+
+        feat_list = []
+        correlations = []
+        corr_res = None
+        src_prev = trg_prev = None
+        for s in range(3):
+            hw = stage_hw[s]
+            src = src_tok[s]
+            trg = trg_tok[s]
+            # the per-stage correlation uses the RAW projected level features
+            # (aggregation.py:532,542); the residual feature upsampling is
+            # added separately (aggregation.py:535-536,545-546)
+            corr = correlation_tokens(src, trg, (hw, hw))
+            corr = embedding[s](corr)
+            if corr_res is not None:
+                corr = corr_res + corr
+            if s > 0:
+                src = interp_tokens(src_prev, (hw, hw)) + src
+                trg = interp_tokens(trg_prev, (hw, hw)) + trg
+            for layer in layers[s]:
+                corr, src, trg = layer(corr, src, trg)
+            corr_res = corr
+            src_prev, trg_prev = src, trg
+            stacked = jnp.stack([src, trg], axis=1).reshape(B2, hw, hw, self.feat_dim[s])
+            feat_list.append(stacked)
+            correlations.append(correlation_tokens(src, trg, (hw, hw)))
+
+        from coponerf_tpu.ops.resize import interpolate4d
+
+        fine = stage_hw[-1]
+        ups = [interpolate4d(x, (fine, fine, fine, fine)) for x in correlations]
+        c = sum(ups) / len(ups)
+
+        b = c.shape[0]
+        # mapping defined on the SOURCE grid, pointing into the target
+        gx_f, gy_f = soft_argmax(jnp.transpose(c, (0, 1, 4, 5, 2, 3)).reshape(b, fine * fine, fine, fine))
+        mapping_fwd = jnp.concatenate([gx_f, gy_f], axis=1)
+        flow = unnormalise_and_convert_mapping_to_flow(mapping_fwd)
+        # mapping defined on the TARGET grid, pointing into the source
+        gx_b, gy_b = soft_argmax(c.reshape(b, fine * fine, fine, fine))
+        mapping_bwd = jnp.concatenate([gx_b, gy_b], axis=1)
+        flow_flip = unnormalise_and_convert_mapping_to_flow(mapping_bwd)
+
+        return feat_list, (flow, flow_flip, mapping_fwd, mapping_bwd), c

@@ -1,0 +1,97 @@
+"""End-to-end model smoke tests on tiny synthetic scenes (CPU).
+
+Uses fast structural init (shapes via eval_shape, numpy fill) — the faithful
+model.init is exercised separately in the slow marker test."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from coponerf_tpu.config import Config, ModelConfig, LossConfig, TrainConfig
+from coponerf_tpu.data.synthetic import make_batch
+from coponerf_tpu.models import CoPoNeRF
+from coponerf_tpu.utils.fast_init import fast_init
+
+IMG = 32
+
+
+@pytest.fixture(scope="session")
+def tiny_setup():
+    cfg = ModelConfig(mask_upsample=IMG, npoints=8)
+    model = CoPoNeRF(cfg)
+    batch_np, _ = make_batch(batch_size=1, image_size=IMG, n_rays=16, seed=0)
+    batch = jax.tree.map(jnp.asarray, batch_np)
+    variables = fast_init(model, batch, val=False, train=False)
+    return cfg, model, batch, variables
+
+
+def test_forward_shapes_and_finiteness(tiny_setup):
+    cfg, model, batch, variables = tiny_setup
+    out = model.apply(variables, batch, val=False, train=False)
+    B, n_rays = 1, 16
+    assert out["rgb"].shape == (B, 1, n_rays, 3)
+    assert out["depth_ray"].shape == (B, n_rays, 1)
+    assert out["at_wt"].shape == (B * 2, n_rays, cfg.npoints)
+    assert out["rel_pose"].shape == (B, 4, 4)
+    for k in ["rgb", "depth_ray", "rel_pose", "T_to_C1_pts", "T_to_C2_pts"]:
+        assert np.isfinite(np.asarray(out[k])).all(), k
+    # attention weights are a joint softmax over both views' samples
+    w = np.asarray(out["at_wt"]).reshape(B, 2, n_rays, cfg.npoints)
+    np.testing.assert_allclose(w.sum(axis=(1, 3)), 1.0, atol=1e-5)
+    # estimated pose is a rigid transform
+    R = np.asarray(out["rel_pose"])[:, :3, :3]
+    np.testing.assert_allclose(R @ R.transpose(0, 2, 1), np.eye(3)[None], atol=1e-5)
+
+
+def test_val_mode_dual_hypothesis(tiny_setup):
+    cfg, model, batch, variables = tiny_setup
+    out = model.apply(variables, batch, val=True, train=False)
+    assert out["rgb"].shape == (1, 1, 16, 3)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_encode_render_split_matches_fused(tiny_setup):
+    cfg, model, batch, variables = tiny_setup
+    state = model.apply(variables, batch, train=False, method="encode")
+    out_split = model.apply(variables, batch, state, val=False, method="render")
+    out_fused = model.apply(variables, batch, val=False, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_split["rgb"]), np.asarray(out_fused["rgb"]), atol=1e-5
+    )
+
+
+def test_train_step_descends_on_mesh():
+    from coponerf_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from coponerf_tpu.training.trainer import TrainState, make_optimizer, make_train_step
+
+    cfg = Config(
+        model=ModelConfig(mask_upsample=IMG, npoints=8),
+        loss=LossConfig(pose=True, cycle=True, ssim=False),
+        train=TrainConfig(lr=1e-4),
+    )
+    model = CoPoNeRF(cfg.model)
+    batch_np, _ = make_batch(batch_size=2, image_size=IMG, n_rays=16, seed=1)
+    batch = jax.tree.map(jnp.asarray, batch_np)
+    variables = fast_init(model, batch, val=False, train=True)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=make_optimizer(cfg, steps_per_epoch=100),
+    )
+    mesh = make_mesh((2,), ("data",), devices=jax.devices()[:2])
+    state = replicate(mesh, state)
+    step_fn = make_train_step(cfg)
+
+    p0 = np.asarray(jax.device_get(state.params["phi"]["lin_out"]["Dense_0"]["kernel"]))
+    losses = []
+    for _ in range(3):
+        sharded = shard_batch(mesh, batch)
+        state, metrics = step_fn(state, sharded)
+        losses.append(float(metrics["total_train_loss"]))
+    assert all(np.isfinite(losses)), losses
+    assert "pose_loss" in metrics and "cycle_loss" in metrics
+    assert float(metrics["grad_norm"]) > 0.0
+    p1 = np.asarray(jax.device_get(state.params["phi"]["lin_out"]["Dense_0"]["kernel"]))
+    assert np.abs(p1 - p0).max() > 0.0  # optimizer actually applied updates
