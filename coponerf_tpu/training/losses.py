@@ -82,10 +82,11 @@ def lf_loss(
     if cfg.ssim:
         flow_f, flow_b = model_out["flow"][0], model_out["flow"][1]
         h = flow_f.shape[-2]
-        up_f, up_b, mask_f, mask_b = flow_ops.cyclic_consistency_masks(
-            flow_f, flow_b, out_size=256, scale=256.0 / h
-        )
         ctx_rgb = model_input["context"]["rgb"]
+        out_size = ctx_rgb.shape[2]  # 256 in the reference (loss_function.py:112)
+        up_f, up_b, mask_f, mask_b = flow_ops.cyclic_consistency_masks(
+            flow_f, flow_b, out_size=out_size, scale=out_size / h
+        )
         im0 = jnp.transpose(ctx_rgb[:, 0], (0, 3, 1, 2))
         im1 = jnp.transpose(ctx_rgb[:, 1], (0, 3, 1, 2))
         s1 = masked_ssim_loss(flow_ops.warp(im1, up_f), im0, mask_f[:, None].astype(im0.dtype))
