@@ -26,6 +26,10 @@ class ModelConfig:
     # "bfloat16"); geometry and the render attention stay float32.
     compute_dtype: str = "float32"
     use_pallas: bool = True         # Pallas kernels for hot ops on TPU
+    # MXU one-hot sampling for small feature grids (bf16 weights, ~1e-3
+    # relative error vs the exact gather) — the throughput path; parity
+    # configs keep this off.
+    fast_sampling: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

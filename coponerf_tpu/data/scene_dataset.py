@@ -1,0 +1,308 @@
+"""Scene datasets: RealEstate10K / ACID stereo-pair loaders.
+
+Parity targets: data/realestate10k_dataio.py:174-683 and
+data/acid_dataio.py:168-656.  A scene is a directory with one ``data.npz``
+(frame-name -> HxWx3 uint8) plus a row-block in a global ``.mat`` pose table
+(rows: [timestamp, fx, fy, cx, cy, _, _, 12 w2c entries], normalized
+intrinsics).  Train sampling draws 2 context frames with a minimum separation
+and a query frame near them; eval (Vis) uses deterministic triplets
+[0, n_skip, 2*n_skip] with the middle frame as query, plus a per-scene
+overlap scalar for metric binning (test.py:271-272).
+
+This is a host-side numpy pipeline (the reference's torch DataLoader work is
+all CPU too); batches are plain dicts of numpy arrays ready for device_put.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from pathlib import Path
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+from scipy.io import loadmat
+
+
+def square_crop(img: np.ndarray) -> np.ndarray:
+    min_dim = min(img.shape[:2])
+    cy, cx = np.array(img.shape[:2]) // 2
+    return img[cy - min_dim // 2: cy + min_dim // 2, cx - min_dim // 2: cx + min_dim // 2]
+
+
+def unnormalize_intrinsics(K: np.ndarray, h: int, w: int) -> np.ndarray:
+    K = K.copy()
+    K[0] *= w
+    K[1] *= h
+    return K
+
+
+def _resize(img: np.ndarray, wh: Tuple[int, int]) -> np.ndarray:
+    if cv2 is not None:
+        return cv2.resize(img, wh)
+    # fallback: nearest via numpy (tests without cv2)
+    ys = (np.linspace(0, img.shape[0] - 1, wh[1])).astype(int)
+    xs = (np.linspace(0, img.shape[1] - 1, wh[0])).astype(int)
+    return img[ys][:, xs]
+
+
+@dataclasses.dataclass
+class Camera:
+    intrinsics: np.ndarray  # 4x4, normalized
+    c2w: np.ndarray         # 4x4
+
+    @classmethod
+    def from_row(cls, row: np.ndarray) -> "Camera":
+        fx, fy, cx, cy = row[1:5]
+        K = np.array(
+            [[fx, 0, cx, 0], [0, fy, cy, 0], [0, 0, 1, 0], [0, 0, 0, 1]], np.float64
+        )
+        w2c = np.eye(4)
+        w2c[:3, :] = np.asarray(row[7:19]).reshape(3, 4)
+        return cls(K, np.linalg.inv(w2c))
+
+
+def parse_pose(pose_block: np.ndarray, timestep: int) -> Camera:
+    ts = np.around(pose_block[:, 0])
+    row = pose_block[ts == timestep][0]
+    return Camera.from_row(row)
+
+
+@dataclasses.dataclass
+class SceneDatasetConfig:
+    img_root: str
+    pose_root: str
+    num_ctxt_views: int = 2
+    num_query_views: int = 1
+    query_sparsity: Optional[int] = None
+    max_num_scenes: Optional[int] = None
+    augment: bool = True
+    image_size: int = 256
+    base_hw: Tuple[int, int] = (256, 455)   # decoded frame size
+    nframe_view: int = 50                   # min context separation (ACID: 92)
+    query_mode: str = "outside"             # RE10K: [min-32, max+32]; ACID 'inside': [min+16, max-16]
+    query_margin: int = 32                  # 32 for RE10K, 16 for ACID
+    force_resize: bool = False              # ACID resizes every frame to base_hw
+    min_frames: int = 10
+    seed: Optional[int] = None
+
+
+class SceneDataset:
+    """Train-time stereo-pair dataset with the reference's retry sampling."""
+
+    def __init__(self, cfg: SceneDatasetConfig):
+        self.cfg = cfg
+        self.all_scenes = sorted(Path(cfg.img_root).glob("*/"))
+        if cfg.max_num_scenes:
+            self.all_scenes = self.all_scenes[: cfg.max_num_scenes]
+        self.all_pose = loadmat(cfg.pose_root)
+        H, W = cfg.base_hw
+        self.H, self.W = H, W
+        self.xscale = W / min(H, W)
+        self.yscale = H / min(H, W)
+        dim = min(H, W)
+        g = np.stack(np.meshgrid(np.arange(dim), np.arange(dim)), -1)
+        self.uv = g.reshape(-1, 2).astype(np.float32)
+        self._rng = random.Random(cfg.seed)
+
+    def __len__(self):
+        return len(self.all_scenes)
+
+    # -- frame processing ------------------------------------------------ #
+
+    def _process_frame(self, rgb: np.ndarray, cam: Camera):
+        cfg = self.cfg
+        if cfg.force_resize or rgb.shape[0] == 360:
+            rgb = _resize(rgb, (self.W, self.H))
+        rgb = square_crop(rgb)
+        K = unnormalize_intrinsics(cam.intrinsics, self.H, self.W)
+        K[0, 2] /= self.xscale
+        K[1, 2] /= self.yscale
+        if cfg.augment and rgb.shape[0] != cfg.image_size:
+            xs = cfg.image_size / rgb.shape[1]
+            ys = cfg.image_size / rgb.shape[0]
+            rgb = _resize(rgb, (cfg.image_size, cfg.image_size))
+            K[0, 0] *= xs
+            K[1, 1] *= ys
+        rgb = rgb.astype(np.float32) / 127.5 - 1.0
+        return rgb, K.astype(np.float32), cam.c2w.astype(np.float32)
+
+    def _load_scene(self, idx: int):
+        scene_path = self.all_scenes[idx]
+        name = scene_path.name
+        if name not in self.all_pose:
+            return None
+        npz_files = sorted(scene_path.glob("*.npz"))
+        if not npz_files:
+            return None
+        try:
+            data = np.load(npz_files[0])
+        except Exception:
+            return None
+        rgb_files = list(data.keys())
+        if len(rgb_files) <= self.cfg.min_frames:
+            return None
+        timestamps = np.array([int(f.split(".")[0]) for f in rgb_files])
+        order = np.argsort(timestamps)
+        return data, np.array(rgb_files)[order], timestamps[order], self.all_pose[name]
+
+    # -- sampling policy (realestate10k_dataio.py:283-331) ---------------- #
+
+    def _sample_ids(self, num_frames: int):
+        cfg = self.cfg
+        candidate = np.arange(0, num_frames - 1)
+        id_feats = []
+        for _ in range(cfg.num_ctxt_views):
+            if len(candidate) == 0:
+                return None
+            pick = int(candidate[self._rng.randrange(len(candidate))])
+            candidate = candidate[
+                (candidate < pick - cfg.nframe_view) | (candidate > pick + cfg.nframe_view)
+            ]
+            id_feats.append(pick)
+        ids = np.array(id_feats)
+        if cfg.query_mode == "outside":
+            low = max(ids.min() - cfg.query_margin, 0)
+            high = min(ids.max() + cfg.query_margin, num_frames - 1)
+        else:
+            low = ids.min() + cfg.query_margin
+            high = ids.max() - cfg.query_margin
+        if high <= low:
+            return None
+        id_render = np.array(
+            [self._rng.randrange(low, high) for _ in range(cfg.num_query_views)]
+        )
+        return ids, id_render
+
+    def __getitem__(self, idx: int) -> Tuple[Dict, Dict]:
+        for _ in range(1000):
+            loaded = self._load_scene(idx)
+            if loaded is None:
+                idx = self._rng.randrange(len(self))
+                continue
+            data, rgb_files, timestamps, pose = loaded
+            sampled = self._sample_ids(len(rgb_files))
+            if sampled is None:
+                idx = self._rng.randrange(len(self))
+                continue
+            id_feat, id_render = sampled
+            try:
+                return self._build_item(data, rgb_files, timestamps, pose, id_feat, id_render)
+            except Exception:
+                idx = self._rng.randrange(len(self))
+        raise RuntimeError("sampling failed 1000 times")
+
+    def _build_item(self, data, rgb_files, timestamps, pose, id_feat, id_render):
+        cfg = self.cfg
+        q_rgb, q_K, q_c2w, uvs = [], [], [], []
+        for i in id_render:
+            cam = parse_pose(pose, timestamps[i])
+            rgb, K, c2w = self._process_frame(data[rgb_files[i]], cam)
+            rgb = rgb.reshape(-1, 3)
+            uv = self.uv
+            if cfg.query_sparsity is not None:
+                rix = np.random.permutation(len(uv))[: cfg.query_sparsity]
+                uv, rgb = uv[rix], rgb[rix]
+            uvs.append(uv)
+            q_rgb.append(rgb)
+            q_K.append(K)
+            q_c2w.append(c2w)
+        c_rgb, c_K, c_c2w = [], [], []
+        for i in id_feat:
+            cam = parse_pose(pose, timestamps[i])
+            rgb, K, c2w = self._process_frame(data[rgb_files[i]], cam)
+            c_rgb.append(rgb)
+            c_K.append(K)
+            c_c2w.append(c2w)
+        query = {
+            "rgb": np.stack(q_rgb),
+            "cam2world": np.stack(q_c2w),
+            "intrinsics": np.stack(q_K),
+            "uv": np.stack(uvs),
+        }
+        context = {
+            "rgb": np.stack(c_rgb),
+            "cam2world": np.stack(c_c2w),
+            "intrinsics": np.stack(c_K),
+        }
+        return {"context": context, "query": query}, query
+
+
+class VisSceneDataset(SceneDataset):
+    """Deterministic eval triplets [0, n_skip, 2*n_skip]; middle frame is the
+    query, the outer two are context (realestate10k_dataio.py:459-683)."""
+
+    def __init__(self, cfg: SceneDatasetConfig, n_skip: int = 50, overlap: Optional[str] = None):
+        super().__init__(cfg)
+        self.n_skip = n_skip
+        self.overlap = np.load(overlap) if overlap is not None else None
+        self.num_query_views = 3
+
+    def __getitem__(self, idx: int):
+        orig_idx = idx
+        for delta in range(100):
+            i = idx - delta if idx > 200 else idx + delta
+            loaded = self._load_scene(i)
+            if loaded is None:
+                continue
+            data, rgb_files, timestamps, pose = loaded
+            if len(rgb_files) <= 20:
+                continue
+            num_frames = len(rgb_files)
+            n_skip = self.n_skip
+            if num_frames - 1 - n_skip * self.num_query_views <= 0:
+                n_skip = num_frames // (self.num_query_views + 1)
+            ids = [k * n_skip for k in range(self.num_query_views)]
+            frames = []
+            for fid in ids:
+                cam = parse_pose(pose, timestamps[fid])
+                frames.append(self._process_frame(data[rgb_files[fid]], cam))
+            (r0, K0, p0), (r1, K1, p1), (r2, K2, p2) = frames
+            query = {
+                "rgb": r1.reshape(1, -1, 3),
+                "cam2world": p1[None],
+                "intrinsics": K1[None],
+                "uv": self.uv[None],
+            }
+            context = {
+                "rgb": np.stack([r0, r2]),
+                "cam2world": np.stack([p0, p2]),
+                "intrinsics": np.stack([K0, K2]),
+            }
+            ov = float(np.ravel(self.overlap[orig_idx])[0]) if self.overlap is not None else 1.0
+            return {"context": context, "query": query}, query, np.float32(ov)
+        raise RuntimeError(f"no loadable scene near index {orig_idx}")
+
+
+def batch_iterator(
+    dataset, batch_size: int, shuffle: bool = True, seed: int = 0, drop_last: bool = True
+) -> Iterator:
+    """Minimal host-side batcher: collates dataset items into stacked numpy
+    batch dicts (the reference uses torch DataLoader with 8 workers;
+    reproduction-relevant logic lives in the dataset, not the loader)."""
+    rng = np.random.RandomState(seed)
+    order = np.arange(len(dataset))
+    while True:
+        if shuffle:
+            rng.shuffle(order)
+        for start in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
+            items = [dataset[int(i)] for i in order[start: start + batch_size]]
+            yield collate(items)
+        if not shuffle:
+            return
+
+
+def collate(items):
+    def stack_tree(trees):
+        if isinstance(trees[0], dict):
+            return {k: stack_tree([t[k] for t in trees]) for k in trees[0]}
+        return np.stack(trees)
+
+    n_out = len(items[0])
+    return tuple(stack_tree([it[j] for it in items]) for j in range(n_out))

@@ -1,0 +1,133 @@
+"""Offline evaluation harness: encode once per stereo pair, render the full
+query image in jitted ray chunks, compute quality + pose metrics binned by
+overlap (replaces test.py:111-302).
+
+Deviations from the reference, by design:
+  - equal-size ray chunks (4096 x 16 for 256^2) instead of torch.chunk's 18
+    uneven chunks — one compiled shape, same protocol;
+  - PSNR/SSIM recorded per batch element everywhere (the reference mixes a
+    joint-over-batch PSNR into its 'all' bin, test.py:246).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coponerf_tpu.eval import metrics as M
+
+
+def _chunk_query(batch, start, size):
+    q = dict(batch["query"])
+    q["uv"] = jax.lax.dynamic_slice_in_dim(batch["query"]["uv"], start, size, axis=2)
+    q["rgb"] = jax.lax.dynamic_slice_in_dim(batch["query"]["rgb"], start, size, axis=2)
+    return {"context": batch["context"], "query": q}
+
+
+def make_renderer(model, chunk: int = 4096):
+    """Returns jitted (encode, render_image) callables."""
+
+    @jax.jit
+    def encode(variables, batch):
+        return model.apply(variables, batch, train=False, method="encode")
+
+    @functools.partial(jax.jit, static_argnames=("n_rays",))
+    def render_image(variables, batch, state, n_rays: int):
+        n_chunks = n_rays // chunk
+
+        def body(i, acc):
+            out = model.apply(
+                variables, _chunk_query(batch, i * chunk, chunk), state, val=True,
+                method="render",
+            )
+            rgb = jax.lax.dynamic_update_slice_in_dim(acc[0], out["rgb"], i * chunk, axis=2)
+            depth = jax.lax.dynamic_update_slice_in_dim(acc[1], out["depth_ray"], i * chunk, axis=1)
+            return (rgb, depth)
+
+        B = batch["query"]["uv"].shape[0]
+        acc = (
+            jnp.zeros((B, 1, n_rays, 3), jnp.float32),
+            jnp.zeros((B, n_rays, 1), jnp.float32),
+        )
+        rgb, depth = jax.lax.fori_loop(0, n_chunks, body, acc)
+        rem = n_rays - n_chunks * chunk
+        if rem:
+            out = model.apply(
+                variables, _chunk_query(batch, n_chunks * chunk, rem), state, val=True,
+                method="render",
+            )
+            rgb = jax.lax.dynamic_update_slice_in_dim(rgb, out["rgb"], n_chunks * chunk, axis=2)
+            depth = jax.lax.dynamic_update_slice_in_dim(depth, out["depth_ray"], n_chunks * chunk, axis=1)
+        return rgb, depth
+
+    return encode, render_image
+
+
+def evaluate(
+    model,
+    variables,
+    dataset,
+    batch_size: int = 2,
+    chunk: int = 4096,
+    max_batches: Optional[int] = None,
+    lpips_weights: Optional[str] = None,
+    image_size: int = 256,
+    verbose: bool = True,
+) -> M.MetricAccumulator:
+    from coponerf_tpu.data.scene_dataset import collate
+
+    encode, render_image = make_renderer(model, chunk)
+    acc = M.MetricAccumulator()
+
+    n = len(dataset)
+    indices = list(range(0, n - (n % batch_size)))
+    batches = [indices[i: i + batch_size] for i in range(0, len(indices), batch_size)]
+    if max_batches:
+        batches = batches[:max_batches]
+
+    for bi, idxs in enumerate(batches):
+        items = [dataset[i] for i in idxs]
+        batch_np, gt, overlaps = collate(items)
+        batch = jax.tree.map(jnp.asarray, batch_np)
+        n_rays = batch["query"]["uv"].shape[2]
+
+        t0 = time.time()
+        state = encode(variables, batch)
+        rgb, depth = render_image(variables, batch, state, n_rays)
+        rgb = jax.block_until_ready(rgb)
+        dt = time.time() - t0
+
+        rgb = np.asarray(rgb).reshape(batch_size, image_size, image_size, 3)
+        target = np.asarray(gt["rgb"]).reshape(batch_size, image_size, image_size, 3)
+        rgb = (np.clip(rgb, -1, 1) + 1) * 0.5
+        target = (target + 1) * 0.5
+
+        rel_pose = np.asarray(state.rel_pose)
+        ctx_c2w = np.asarray(batch_np["context"]["cam2world"])
+        gt_rel = np.linalg.inv(ctx_c2w[:, 0]) @ ctx_c2w[:, 1]
+        rot = M.rotation_geodesic(rel_pose[:, :3, :3], gt_rel[:, :3, :3])
+        trans_l2, trans_ang = M.translation_error(rel_pose[:, :3, 3], gt_rel[:, :3, 3])
+
+        for e in range(batch_size):
+            vals = {
+                "psnr": M.psnr(rgb[e], target[e]),
+                "mse": float(np.mean((rgb[e] - target[e]) ** 2)),
+                "ssim": M.ssim(rgb[e], target[e]),
+                "rot": float(rot[e]),
+                "trans": float(trans_l2[e]),
+                "angle_trans": float(trans_ang[e]),
+                "rays_per_sec": n_rays * batch_size / dt,
+            }
+            lp = M.lpips_vgg(rgb[e] * 2 - 1, target[e] * 2 - 1, lpips_weights)
+            if lp is not None:
+                vals["lpips"] = lp
+            acc.add(M.overlap_bin(float(np.ravel(overlaps)[e])), **vals)
+        if verbose:
+            print(f"{bi + 1}/{len(batches)} done.")
+            print(acc.format())
+    return acc

@@ -79,11 +79,18 @@ def flow2kps(trg_kps: jnp.ndarray, flow: jnp.ndarray, n_pts: int, upsample_size:
     """
     h = flow.shape[-2]
     up = resize_nchw(flow, upsample_size, align_corners=False) * (upsample_size[0] / h)
+    return flow2kps_from_upsampled(trg_kps, up, n_pts)
+
+
+def flow2kps_from_upsampled(trg_kps: jnp.ndarray, up: jnp.ndarray, n_pts: int):
+    """flow2kps with the flow already upsampled+scaled (chunk-invariant part
+    precomputed once per pair); up: (B, 2, H, W)."""
+    hw = up.shape[-2:]
     kps_i = trg_kps[:, :n_pts].astype(jnp.int32)  # trunc-toward-zero, like .long()
-    mask = ((kps_i >= 0) & (kps_i < upsample_size[0])).all(axis=-1)
-    kp = jnp.clip(kps_i, 0, upsample_size[0] - 1)
+    mask = ((kps_i >= 0) & (kps_i < hw[0])).all(axis=-1)
+    kp = jnp.clip(kps_i, 0, hw[0] - 1)
     flat = up.reshape(up.shape[0], 2, -1)
-    idx = kp[..., 1] * upsample_size[1] + kp[..., 0]  # (B, n_pts)
+    idx = kp[..., 1] * hw[1] + kp[..., 0]  # (B, n_pts)
     sampled = jnp.take_along_axis(flat, idx[:, None, :], axis=2)  # (B, 2, n_pts)
     src_kps = jnp.swapaxes(kp, 1, 2).astype(up.dtype) + sampled
     return src_kps, mask

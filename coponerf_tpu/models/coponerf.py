@@ -45,11 +45,16 @@ IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
 @flax.struct.dataclass
 class SceneState:
     """Cached per-pair encoding: reused across ray chunks (the reference's
-    (z, rel_pose, flow) triple, test.py:173)."""
+    (z, rel_pose, flow) triple, test.py:173).  Also carries the
+    chunk-invariant upsampled-flow products that the reference recomputes in
+    every forward (CoPoNeRF.py:230-236, utils.py:52-69) — hoisting them here
+    changes no results, only removes per-chunk work."""
 
     z: Tuple[jnp.ndarray, ...]          # 4 NHWC latents (B*V, h, w, c)
     rel_pose: jnp.ndarray               # (B, 4, 4) estimated ctx1 -> ctx2
     flows: Tuple[jnp.ndarray, ...]      # (flow, flow_flip, mapping_fwd, mapping_bwd)
+    mask_bwd: jnp.ndarray               # (B, up, up) cyclic-consistency mask (bwd)
+    kps_flow_bwd: jnp.ndarray           # (B, 2, up, up) upsampled bwd flow for flow2kps
 
 
 class CoPoNeRF(nn.Module):
@@ -71,11 +76,12 @@ class CoPoNeRF(nn.Module):
         latent = c.latent_dim            # 832
         half = latent // 2               # 416
         hid = c.hidden_dim               # 128
-        self.query_encode_latent = Dense(latent, name="query_encode_latent")
-        self.query_encode_latent_2 = Dense(half, name="query_encode_latent_2")
-        self.latent_value = Dense(half, name="latent_value")
-        self.key_map = Dense(hid, name="key_map")
-        self.key_map_2 = Dense(hid, name="key_map_2")
+        cd = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
+        self.query_encode_latent = Dense(latent, dtype=cd, name="query_encode_latent")
+        self.query_encode_latent_2 = Dense(half, dtype=cd, name="query_encode_latent_2")
+        self.latent_value = Dense(half, dtype=cd, name="latent_value")
+        self.key_map = Dense(hid, dtype=cd, name="key_map")
+        self.key_map_2 = Dense(hid, dtype=cd, name="key_map_2")
         self.query_embed = Dense(hid, name="query_embed")
         self.query_embed_2 = Dense(hid, name="query_embed_2")
         self.query_repeat_embed = Dense(hid, name="query_repeat_embed")
@@ -124,7 +130,24 @@ class CoPoNeRF(nn.Module):
         rel_pose = jnp.concatenate([top, bottom], axis=1)
 
         z = tuple(feat_list) + (z_conv,)
-        return SceneState(z=z, rel_pose=rel_pose, flows=tuple(flows))
+
+        # chunk-invariant flow products (reference recomputes these per chunk):
+        # cyclic-consistency mask with the reference's scale quirk
+        # (CoPoNeRF.py:230-231: scale = up / image_W == 1 at 256), and the
+        # geometrically-scaled upsampled bwd flow for flow2kps (utils.py:55)
+        up = self.cfg.mask_upsample
+        _, _, _, mask_bwd = flow_ops.cyclic_consistency_masks(
+            flows[0], flows[1], out_size=up, scale=up / W
+        )
+        from coponerf_tpu.ops.resize import resize_nchw
+
+        kps_flow_bwd = resize_nchw(flows[1], (up, up), align_corners=False) * (
+            up / flows[1].shape[-2]
+        )
+        return SceneState(
+            z=z, rel_pose=rel_pose, flows=tuple(flows),
+            mask_bwd=mask_bwd.astype(jnp.float32), kps_flow_bwd=kps_flow_bwd,
+        )
 
     # ------------------------------------------------------------------ #
     # Phase 2: render — epipolar attention + light-field decoding
@@ -147,11 +170,7 @@ class CoPoNeRF(nn.Module):
         flows = state.flows
         out: Dict[str, jnp.ndarray] = {"flow": flows}
 
-        # cyclic-consistency masks (reference scale quirk: 256 / image W == 1)
-        _, _, mask_fwd, mask_bwd = flow_ops.cyclic_consistency_masks(
-            flows[0], flows[1], out_size=cfg.mask_upsample,
-            scale=cfg.mask_upsample / ctx["rgb"].shape[-2],
-        )
+        mask_bwd = state.mask_bwd  # precomputed in encode (chunk-invariant)
 
         ctx_c2w = ctx["cam2world"]
         inv_ctx = G.pose_inverse_4x4(ctx_c2w)
@@ -184,9 +203,22 @@ class CoPoNeRF(nn.Module):
         interval = jnp.linspace(0.0, 1.0, S)
         pixel_val = start[:, :, None, :] + (end - start)[:, :, None, :] * interval[None, None, :, None]
 
+        if cfg.fast_sampling:
+            from coponerf_tpu.ops.pallas.bilinear_sample import grid_sample_onehot
+
+            def sample(z, p, mode):
+                # MXU one-hot path wins for grids up to 64^2 (measured);
+                # the 256^2 conv latent stays on the patch gather
+                if z.shape[1] * z.shape[2] <= 4096:
+                    return grid_sample_onehot(z, p, padding_mode=mode)
+                return grid_sample(z, p, padding_mode=mode)
+        else:
+            def sample(z, p, mode):
+                return grid_sample(z, p, padding_mode=mode)
+
         # primary features: all 4 latents sampled along the segments (border pad)
         interp_val = jnp.concatenate(
-            [grid_sample(z, pixel_val, padding_mode="border") for z in state.z], axis=-1
+            [sample(z, pixel_val, "border") for z in state.z], axis=-1
         )                                                                  # (B*V, N, S, 832)
 
         # 3D point on the query ray nearest to each epipolar sample
@@ -227,7 +259,7 @@ class CoPoNeRF(nn.Module):
         # secondary (cross-view reprojected) features, zeros padding
         px_stack = jnp.stack([px_v1_c2, px_v2_c1], axis=1).reshape(B * V, n_rays, S, 2)
         interp_nearest = jnp.concatenate(
-            [grid_sample(z, px_stack, padding_mode="zeros") for z in state.z], axis=-1
+            [sample(z, px_stack, "zeros") for z in state.z], axis=-1
         ).reshape(B, V, n_rays, S, -1)
 
         scrub = lambda x: jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
@@ -326,9 +358,9 @@ class CoPoNeRF(nn.Module):
         )
         up_hw = (cfg.mask_upsample, cfg.mask_upsample)
         out["matchability_cycle_mask"] = flow_ops.mask_from_confidence(
-            T_to_C2, mask_bwd.astype(jnp.float32), n_rays, upsample_size=up_hw
+            T_to_C2, mask_bwd, n_rays, upsample_size=up_hw
         )
-        C2_to_C1, mask_c2 = flow_ops.flow2kps(T_to_C2, flows[1], n_rays, upsample_size=up_hw)
+        C2_to_C1, mask_c2 = flow_ops.flow2kps_from_upsampled(T_to_C2, state.kps_flow_bwd, n_rays)
 
         out["T_to_C1_pts"] = T_to_C1
         out["T_to_C2_pts"] = T_to_C2

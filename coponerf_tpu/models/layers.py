@@ -4,7 +4,7 @@ and imported torch checkpoints drop into identically-shaped trees."""
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -30,12 +30,14 @@ def torch_bias_init(kernel_fan_in: int):
 
 
 class Dense(nn.Module):
-    """nn.Dense with torch default init (weights and bias)."""
+    """nn.Dense with torch default init (weights and bias); optional compute
+    dtype (params stay f32, matmul runs in ``dtype``)."""
 
     features: int
     use_bias: bool = True
     kernel_init: Optional[Callable] = None
     bias_zero: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -46,6 +48,7 @@ class Dense(nn.Module):
             use_bias=self.use_bias,
             kernel_init=self.kernel_init or torch_kernel_init,
             bias_init=bias_init,
+            dtype=self.dtype,
         )(x)
 
 

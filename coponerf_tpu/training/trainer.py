@@ -53,7 +53,9 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
 
 def create_train_state(cfg: Config, batch, rng) -> TrainState:
     model = CoPoNeRF(cfg.model)
-    variables = model.init(rng, batch, val=False, train=True)
+    # jit the init: one compile instead of thousands of tunneled op dispatches
+    init_fn = jax.jit(lambda r, b: model.init(r, b, val=False, train=True))
+    variables = init_fn(rng, batch)
     tx = make_optimizer(cfg, steps_per_epoch=cfg.train.steps_til_summary)
     return TrainState.create(
         apply_fn=model.apply,

@@ -1,0 +1,83 @@
+"""Evaluation entry point (replaces the reference's test.py).
+
+    python test.py --checkpoint_path X --data_root ... --pose_root ... \
+        [--overlap assets/overlap/realestate.npy] [--n_skip 50]
+
+Runs the chunked dual-hypothesis eval protocol and prints PSNR/SSIM(/LPIPS
+when weights are supplied)/pose errors binned by overlap
+{small<0.5, 0.5<=medium<=0.75, large>0.75}.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from coponerf_tpu.utils.cli import parse_with_config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--logging_root", type=str, default="logs")
+    p.add_argument("--experiment_name", type=str, default="eval")
+    p.add_argument("--data_root", type=str, required=True)
+    p.add_argument("--pose_root", type=str, required=True)
+    p.add_argument("--overlap", type=str, default=None)
+    p.add_argument("--dataset", type=str, default="realestate10k", choices=["realestate10k", "acid"])
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--views", type=int, default=2)
+    p.add_argument("--n_skip", type=int, default=50)
+    p.add_argument("--checkpoint_path", default=None)
+    p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--chunk", type=int, default=4096)
+    p.add_argument("--lpips_weights", type=str, default=None)
+    return p
+
+
+def main():
+    opt = parse_with_config(build_parser())
+
+    import jax.numpy as jnp
+
+    from coponerf_tpu.config import ModelConfig
+    from coponerf_tpu.eval.harness import evaluate
+    from coponerf_tpu.models import CoPoNeRF
+
+    if opt.dataset == "acid":
+        from coponerf_tpu.data.acid import ACIDVis as Vis
+    else:
+        from coponerf_tpu.data.realestate import RealEstate10kVis as Vis
+
+    dataset = Vis(opt.data_root, opt.pose_root, overlap=opt.overlap, n_skip=opt.n_skip,
+                  num_ctxt_views=opt.views)
+
+    model = CoPoNeRF(ModelConfig(n_view=opt.views))
+
+    if opt.checkpoint_path and opt.checkpoint_path.endswith(".pth"):
+        from coponerf_tpu.utils.torch_import import convert_state_dict, load_torch_checkpoint
+
+        params, batch_stats = convert_state_dict(load_torch_checkpoint(opt.checkpoint_path))
+    elif opt.checkpoint_path:
+        from coponerf_tpu.training.checkpoint import load
+
+        params, batch_stats, _ = load(opt.checkpoint_path)
+    else:
+        raise SystemExit("--checkpoint_path is required for evaluation")
+    variables = {"params": params, "batch_stats": batch_stats}
+    variables = {k: jnp_tree(v) for k, v in variables.items()}
+
+    acc = evaluate(
+        model, variables, dataset, batch_size=opt.batch_size, chunk=opt.chunk,
+        max_batches=opt.max_batches, lpips_weights=opt.lpips_weights,
+    )
+    print(acc.format())
+
+
+def jnp_tree(tree):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(jnp.asarray, tree)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Data pipeline tests against fabricated scene archives."""
+
+import numpy as np
+import pytest
+from scipy.io import savemat
+
+from coponerf_tpu.data.realestate import RealEstate10k, RealEstate10kVis
+from coponerf_tpu.data.acid import ACID
+from coponerf_tpu.data.scene_dataset import batch_iterator
+
+
+@pytest.fixture(scope="module")
+def fake_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scenes")
+    img_root = root / "train"
+    img_root.mkdir()
+    rng = np.random.RandomState(0)
+    pose_tables = {}
+    n_frames = 160
+    for s in range(2):
+        name = f"scene{s:03d}"
+        sdir = img_root / name
+        sdir.mkdir()
+        frames = {}
+        rows = []
+        for i in range(n_frames):
+            ts = 1000 * i
+            frames[f"{ts}.png"] = rng.randint(0, 255, (256, 455, 3), np.uint8)
+            # normalized intrinsics + w2c with a slow dolly
+            fx, fy, cx, cy = 0.9, 0.9, 0.5, 0.5
+            w2c = np.eye(4)
+            w2c[0, 3] = 0.01 * i
+            rows.append([ts, fx, fy, cx, cy, 0, 0, *w2c[:3].reshape(-1)])
+        np.savez(sdir / "data.npz", **frames)
+        pose_tables[name] = np.array(rows, np.float64)
+    pose_path = root / "train.mat"
+    savemat(pose_path, pose_tables)
+    overlap = root / "overlap.npy"
+    np.save(overlap, np.linspace(0.2, 0.9, 2).astype(np.float32)[:, None])
+    return str(img_root), str(pose_path), str(overlap)
+
+
+def test_realestate_train_item(fake_root):
+    img_root, pose_root, _ = fake_root
+    ds = RealEstate10k(img_root, pose_root, query_sparsity=48, seed=0)
+    item, gt = ds[0]
+    assert item["context"]["rgb"].shape == (2, 256, 256, 3)
+    assert item["context"]["intrinsics"].shape == (2, 4, 4)
+    assert item["query"]["uv"].shape == (1, 48, 2)
+    assert item["query"]["rgb"].shape == (1, 48, 3)
+    assert np.abs(item["context"]["rgb"]).max() <= 1.0
+    # pixel intrinsics: fx = 0.9 * 455 scaled by crop/resize to the 256 image
+    K = item["context"]["intrinsics"][0]
+    assert 200 < K[0, 0] < 500 and 100 < K[0, 2] < 160
+    # context separation policy: >= nframe_view apart is guaranteed by
+    # candidate pruning; check via the cam2world dolly distance (0.01/frame)
+    dist = abs(item["context"]["cam2world"][0][0, 3] - item["context"]["cam2world"][1][0, 3])
+    assert dist >= 0.01 * 50 - 1e-6
+
+
+def test_realestate_vis_triplet(fake_root):
+    img_root, pose_root, overlap = fake_root
+    ds = RealEstate10kVis(img_root, pose_root, overlap=overlap, n_skip=50)
+    item, gt, ov = ds[1]
+    assert item["query"]["rgb"].shape == (1, 256 * 256, 3)
+    assert item["query"]["uv"].shape == (1, 256 * 256, 2)
+    assert item["context"]["rgb"].shape == (2, 256, 256, 3)
+    # triplet frames [0, 50, 100]: contexts at 0 and 100, query at 50
+    x0 = item["context"]["cam2world"][0][0, 3]
+    x2 = item["context"]["cam2world"][1][0, 3]
+    xq = item["query"]["cam2world"][0][0, 3]
+    # c2w = inv(w2c) with w2c translation +0.01*i -> c2w x = -0.01*i
+    np.testing.assert_allclose([x0, xq, x2], [0.0, -0.5, -1.0], atol=1e-5)
+    assert float(ov) == pytest.approx(0.9, abs=1e-5)
+
+
+def test_acid_query_between_contexts(fake_root):
+    img_root, pose_root, _ = fake_root
+    ds = ACID(img_root, pose_root, query_sparsity=16, seed=1)
+    item, gt = ds[0]
+    xs = [-item["context"]["cam2world"][i][0, 3] for i in range(2)]
+    xq = -item["query"]["cam2world"][0][0, 3]
+    lo, hi = min(xs), max(xs)
+    assert lo + 0.16 - 1e-6 <= xq <= hi - 0.16 + 1e-6  # strictly inside
+    assert hi - lo >= 0.92 - 1e-6  # ACID nframe_view=92
+
+
+def test_batch_iterator_collates(fake_root):
+    img_root, pose_root, _ = fake_root
+    ds = RealEstate10k(img_root, pose_root, query_sparsity=16, seed=0)
+    it = batch_iterator(ds, batch_size=2, shuffle=True, seed=0)
+    batch, gt = next(it)
+    assert batch["context"]["rgb"].shape == (2, 2, 256, 256, 3)
+    assert batch["query"]["uv"].shape == (2, 1, 16, 2)
+    assert gt["rgb"].shape == (2, 1, 16, 3)

@@ -1,0 +1,127 @@
+"""Training entry point (replaces the reference's train.py).
+
+    python train.py --experiment_name X --data_root ... --pose_root ... \
+        [--dataset realestate10k|acid|synthetic] [--pose --cycle --ssim] ...
+
+One jitted global train step over a data-parallel device mesh replaces the
+reference's mp.spawn + NCCL setup (train.py:78-147); --gpus is accepted for
+CLI compatibility but parallelism comes from the visible JAX devices.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from coponerf_tpu.utils.cli import parse_with_config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--logging_root", type=str, default="logs")
+    p.add_argument("--data_root", type=str, default="")
+    p.add_argument("--pose_root", type=str, default="")
+    p.add_argument("--val_root", type=str, default=None)
+    p.add_argument("--val_pose_root", type=str, default=None)
+    p.add_argument("--dataset", type=str, default="realestate10k",
+                   choices=["realestate10k", "acid", "synthetic"])
+    p.add_argument("--experiment_name", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=12)
+    p.add_argument("--views", type=int, default=2)
+    p.add_argument("--gpus", type=int, default=1, help="compat; uses all JAX devices")
+    p.add_argument("--n_skip", type=int, default=50)
+    p.add_argument("--lr", type=float, default=5e-5 * 4)
+    p.add_argument("--l2_coeff", type=float, default=0.05)
+    p.add_argument("--num_epochs", type=int, default=40001)
+    p.add_argument("--max_steps", type=int, default=1000000)
+    p.add_argument("--query_sparsity", type=int, default=192)
+    p.add_argument("--cycle", action="store_true", default=False)
+    p.add_argument("--pose", action="store_true", default=False)
+    p.add_argument("--ssim", action="store_true", default=False)
+    p.add_argument("--depth", action="store_true", default=False)
+    p.add_argument("--epochs_til_ckpt", type=int, default=100)
+    p.add_argument("--steps_til_summary", type=int, default=500)
+    p.add_argument("--iters_til_ckpt", type=int, default=10000)
+    p.add_argument("--checkpoint_path", default=None)
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    return p
+
+
+def make_dataset(opt):
+    if opt.dataset == "synthetic":
+        from coponerf_tpu.data.synthetic import make_batch
+
+        def synthetic_iter():
+            seed = 0
+            while True:
+                seed += 1
+                yield make_batch(
+                    batch_size=opt.batch_size, image_size=opt.image_size,
+                    n_rays=opt.query_sparsity, seed=seed,
+                )
+
+        return synthetic_iter()
+    if opt.dataset == "acid":
+        from coponerf_tpu.data.acid import ACID as DS
+    else:
+        from coponerf_tpu.data.realestate import RealEstate10k as DS
+    from coponerf_tpu.data.scene_dataset import batch_iterator
+
+    ds = DS(opt.data_root, opt.pose_root, num_ctxt_views=opt.views,
+            num_query_views=1, query_sparsity=opt.query_sparsity, augment=True)
+    return batch_iterator(ds, opt.batch_size, shuffle=True)
+
+
+def main():
+    opt = parse_with_config(build_parser())
+
+    from coponerf_tpu.config import Config, LossConfig, ModelConfig, TrainConfig
+    from coponerf_tpu.training import checkpoint as ckpt_lib
+    from coponerf_tpu.training import trainer
+
+    cfg = Config(
+        model=ModelConfig(
+            n_view=opt.views, compute_dtype=opt.compute_dtype,
+        ),
+        loss=LossConfig(
+            l2_coeff=opt.l2_coeff, depth=opt.depth, pose=opt.pose,
+            cycle=opt.cycle, ssim=opt.ssim,
+        ),
+        train=TrainConfig(
+            lr=opt.lr, batch_size=opt.batch_size, num_epochs=opt.num_epochs,
+            query_sparsity=opt.query_sparsity,
+            steps_til_summary=opt.steps_til_summary,
+            epochs_til_ckpt=opt.epochs_til_ckpt,
+            iters_til_ckpt=opt.iters_til_ckpt,
+        ),
+        logging_root=opt.logging_root,
+        experiment_name=opt.experiment_name,
+    )
+
+    train_iter = (b for b, _ in iter(make_dataset(opt)))
+
+    state = None
+    if opt.checkpoint_path:
+        import jax
+        import jax.numpy as jnp
+
+        first = next(iter(make_dataset(opt)))[0]
+        state = trainer.create_train_state(
+            cfg, jax.tree.map(jnp.asarray, first), jax.random.PRNGKey(cfg.train.seed)
+        )
+        if opt.checkpoint_path.endswith(".pth"):
+            from coponerf_tpu.utils.torch_import import convert_state_dict, load_torch_checkpoint
+
+            params, batch_stats = convert_state_dict(load_torch_checkpoint(opt.checkpoint_path))
+            state = state.replace(params=params, batch_stats=batch_stats)
+        else:
+            state = ckpt_lib.restore_into(state, opt.checkpoint_path)
+        print(f"Loaded weights from {opt.checkpoint_path}")
+
+    trainer.train(cfg, train_iter, num_steps=opt.max_steps, state=state)
+
+
+if __name__ == "__main__":
+    main()
