@@ -30,6 +30,10 @@ N_ITERS = 3
 
 def main():
     import jax
+
+    from coponerf_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from coponerf_tpu.config import ModelConfig

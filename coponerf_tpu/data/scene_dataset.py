@@ -91,6 +91,7 @@ class SceneDatasetConfig:
     force_resize: bool = False              # ACID resizes every frame to base_hw
     min_frames: int = 10
     seed: Optional[int] = None
+    use_cache: bool = True                  # prefer native scene.cache files when present
 
 
 class SceneDataset:
@@ -110,6 +111,7 @@ class SceneDataset:
         g = np.stack(np.meshgrid(np.arange(dim), np.arange(dim)), -1)
         self.uv = g.reshape(-1, 2).astype(np.float32)
         self._rng = random.Random(cfg.seed)
+        self._cache_handles: Dict[str, object] = {}
 
     def __len__(self):
         return len(self.all_scenes)
@@ -133,11 +135,45 @@ class SceneDataset:
         rgb = rgb.astype(np.float32) / 127.5 - 1.0
         return rgb, K.astype(np.float32), cam.c2w.astype(np.float32)
 
+    def _get_processed(self, source, rgb_files, i, cam: Camera):
+        """Frame + intrinsics via the native cache (fused C++ crop/resize)
+        when available, else the numpy/cv2 path."""
+        if hasattr(source, "processed"):
+            cfg = self.cfg
+            K = unnormalize_intrinsics(cam.intrinsics, self.H, self.W)
+            K[0, 2] /= self.xscale
+            K[1, 2] /= self.yscale
+            dim = min(self.H, self.W)
+            if cfg.augment:
+                K[0, 0] *= cfg.image_size / dim
+                K[1, 1] *= cfg.image_size / dim
+                rgb = source.processed(int(i), cfg.image_size)
+            else:
+                rgb = square_crop(source.frame(int(i))).astype(np.float32) / 127.5 - 1.0
+            return rgb, K.astype(np.float32), cam.c2w.astype(np.float32)
+        return self._process_frame(source[rgb_files[i]], cam)
+
     def _load_scene(self, idx: int):
         scene_path = self.all_scenes[idx]
         name = scene_path.name
         if name not in self.all_pose:
             return None
+        cache_path = scene_path / "scene.cache"
+        if self.cfg.use_cache and cache_path.exists():
+            try:
+                from coponerf_tpu.data.fast_loader import SceneCache
+
+                cache = self._cache_handles.get(str(cache_path))
+                if cache is None:
+                    cache = SceneCache(str(cache_path))
+                    if len(self._cache_handles) > 64:
+                        self._cache_handles.clear()
+                    self._cache_handles[str(cache_path)] = cache
+                if cache.n_frames <= self.cfg.min_frames:
+                    return None
+                return cache, None, cache.timestamps, self.all_pose[name]
+            except Exception:
+                pass
         npz_files = sorted(scene_path.glob("*.npz"))
         if not npz_files:
             return None
@@ -187,7 +223,7 @@ class SceneDataset:
                 idx = self._rng.randrange(len(self))
                 continue
             data, rgb_files, timestamps, pose = loaded
-            sampled = self._sample_ids(len(rgb_files))
+            sampled = self._sample_ids(len(timestamps))
             if sampled is None:
                 idx = self._rng.randrange(len(self))
                 continue
@@ -203,7 +239,7 @@ class SceneDataset:
         q_rgb, q_K, q_c2w, uvs = [], [], [], []
         for i in id_render:
             cam = parse_pose(pose, timestamps[i])
-            rgb, K, c2w = self._process_frame(data[rgb_files[i]], cam)
+            rgb, K, c2w = self._get_processed(data, rgb_files, i, cam)
             rgb = rgb.reshape(-1, 3)
             uv = self.uv
             if cfg.query_sparsity is not None:
@@ -216,7 +252,7 @@ class SceneDataset:
         c_rgb, c_K, c_c2w = [], [], []
         for i in id_feat:
             cam = parse_pose(pose, timestamps[i])
-            rgb, K, c2w = self._process_frame(data[rgb_files[i]], cam)
+            rgb, K, c2w = self._get_processed(data, rgb_files, i, cam)
             c_rgb.append(rgb)
             c_K.append(K)
             c_c2w.append(c2w)
@@ -252,9 +288,9 @@ class VisSceneDataset(SceneDataset):
             if loaded is None:
                 continue
             data, rgb_files, timestamps, pose = loaded
-            if len(rgb_files) <= 20:
+            if len(timestamps) <= 20:
                 continue
-            num_frames = len(rgb_files)
+            num_frames = len(timestamps)
             n_skip = self.n_skip
             if num_frames - 1 - n_skip * self.num_query_views <= 0:
                 n_skip = num_frames // (self.num_query_views + 1)
@@ -262,7 +298,7 @@ class VisSceneDataset(SceneDataset):
             frames = []
             for fid in ids:
                 cam = parse_pose(pose, timestamps[fid])
-                frames.append(self._process_frame(data[rgb_files[fid]], cam))
+                frames.append(self._get_processed(data, rgb_files, fid, cam))
             (r0, K0, p0), (r1, K1, p1), (r2, K2, p2) = frames
             query = {
                 "rgb": r1.reshape(1, -1, 3),

@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main():
+    from coponerf_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     opt = parse_with_config(build_parser())
 
     import jax.numpy as jnp

@@ -93,3 +93,27 @@ def test_batch_iterator_collates(fake_root):
     assert batch["context"]["rgb"].shape == (2, 2, 256, 256, 3)
     assert batch["query"]["uv"].shape == (2, 1, 16, 2)
     assert gt["rgb"].shape == (2, 1, 16, 3)
+
+
+def test_cache_backend_matches_npz(fake_root):
+    from coponerf_tpu.data import fast_loader
+    try:
+        fast_loader.get_lib()
+    except Exception as e:
+        pytest.skip(f"native toolchain unavailable: {e}")
+    import glob, os
+    img_root, pose_root, _ = fake_root
+    # convert scene000 to a native cache
+    scene = os.path.join(img_root, "scene000")
+    n = fast_loader.convert_scene_npz(os.path.join(scene, "data.npz"), os.path.join(scene, "scene.cache"))
+    assert n == 160
+    ds_npz = RealEstate10k(img_root, pose_root, query_sparsity=None, seed=5)
+    ds_npz.cfg.use_cache = False
+    ds_cache = RealEstate10k(img_root, pose_root, query_sparsity=None, seed=5)
+    item_n, _ = ds_npz[0]
+    item_c, _ = ds_cache[0]
+    # same RNG seed -> same frames; pixels equal up to interp rounding
+    np.testing.assert_allclose(item_c["context"]["intrinsics"], item_n["context"]["intrinsics"], atol=1e-5)
+    np.testing.assert_allclose(item_c["context"]["cam2world"], item_n["context"]["cam2world"], atol=1e-6)
+    assert np.abs(item_c["context"]["rgb"] - item_n["context"]["rgb"]).mean() < 2e-2
+    os.remove(os.path.join(scene, "scene.cache"))

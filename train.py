@@ -75,6 +75,9 @@ def make_dataset(opt):
 
 
 def main():
+    from coponerf_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     opt = parse_with_config(build_parser())
 
     from coponerf_tpu.config import Config, LossConfig, ModelConfig, TrainConfig
