@@ -105,11 +105,13 @@ class CoPoNeRF(nn.Module):
         rgb = (rgb - IMAGENET_MEAN) / IMAGENET_STD
 
         cd = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
-        z_feats = self.encoder(rgb.astype(cd), train=train)
-        z_feats = [z.astype(jnp.float32) for z in z_feats]
-        z_conv = self.conv_map(rgb)
+        with jax.named_scope("encoder"):
+            z_feats = self.encoder(rgb.astype(cd), train=train)
+            z_feats = [z.astype(jnp.float32) for z in z_feats]
+            z_conv = self.conv_map(rgb)
 
-        feat_list, flows, c = self.feature_cost_aggregation(z_feats, V)
+        with jax.named_scope("ufc"):
+            feat_list, flows, c = self.feature_cost_aggregation(z_feats, V)
 
         intr = ctx["intrinsics"]
         intr_norm = intr.at[:, :, :2, :].set(intr[:, :, :2, :] / H)
@@ -119,7 +121,8 @@ class CoPoNeRF(nn.Module):
         cy = intr_norm[:, 0, 1, 2][:, None]
 
         tokens = feat_list[-1].reshape(B * V, -1, feat_list[-1].shape[-1])
-        pose_feat = self.cross_attention(tokens, c, (fx, fy, cx, cy)).reshape(B, -1)
+        with jax.named_scope("pose_head"):
+            pose_feat = self.cross_attention(tokens, c, (fx, fy, cx, cy)).reshape(B, -1)
 
         pose_latent = self.pose_regressor(pose_feat)[:, :128]
         rot = self.rotation_regressor(pose_latent)
@@ -207,11 +210,12 @@ class CoPoNeRF(nn.Module):
             from coponerf_tpu.ops.pallas.bilinear_sample import grid_sample_onehot
 
             def sample(z, p, mode):
-                # MXU one-hot path wins for grids up to 64^2 (measured);
-                # the 256^2 conv latent stays on the patch gather
-                if z.shape[1] * z.shape[2] <= 4096:
+                # measured on v5e: MXU one-hot wins up to 32^2 grids; larger
+                # grids are fastest as bf16 2x2-patch gathers (slice-size
+                # bound), both ~1e-3 relative error
+                if z.shape[1] * z.shape[2] <= 1024:
                     return grid_sample_onehot(z, p, padding_mode=mode)
-                return grid_sample(z, p, padding_mode=mode)
+                return grid_sample(z.astype(jnp.bfloat16), p, padding_mode=mode).astype(jnp.float32)
         else:
             def sample(z, p, mode):
                 return grid_sample(z, p, padding_mode=mode)

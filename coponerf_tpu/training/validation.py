@@ -1,0 +1,68 @@
+"""Periodic in-training validation: chunked full-image rendering + losses +
+image summaries (replaces wrapper.py:160-254, without the reference's silent
+bare-except swallow)."""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coponerf_tpu.config import Config
+from coponerf_tpu.eval.harness import make_renderer
+from coponerf_tpu.models import CoPoNeRF
+from coponerf_tpu.training import summaries as S
+from coponerf_tpu.training.losses import lf_loss
+
+
+def make_val_fn(cfg: Config, val_batches: Iterable, chunk: int = 512, image_size: int = 256) -> Callable:
+    """Returns val_fn(state, step, logger) for trainer.train.
+
+    val_batches: iterable of (model_input, gt) numpy batch dicts with FULL
+    query images (uv covers the image)."""
+    model = CoPoNeRF(cfg.model)
+    encode, render_image = make_renderer(model, chunk)
+    batches = list(val_batches)
+
+    def val_fn(train_state, step, logger):
+        variables = {
+            "params": jax.device_get(train_state.params),
+            "batch_stats": jax.device_get(train_state.batch_stats),
+        }
+        variables = jax.tree.map(jnp.asarray, variables)
+        losses_acc = {}
+        last = None
+        for batch_np, gt in batches:
+            batch = jax.tree.map(jnp.asarray, batch_np)
+            n_rays = batch["query"]["uv"].shape[2]
+            scene = encode(variables, batch)
+            rgb, depth = render_image(variables, batch, scene, n_rays)
+            out = {
+                "rgb": rgb,
+                "depth_ray": depth,
+                "flow": scene.flows,
+                "rel_pose": scene.rel_pose,
+                "gt_rel_pose": jnp.linalg.inv(batch["context"]["cam2world"][:, 0])
+                @ batch["context"]["cam2world"][:, 1],
+                "at_wt": jnp.ones((rgb.shape[0] * 2, 1, cfg.model.npoints)) / cfg.model.npoints,
+            }
+            # validation losses: image + pose (the chunked renderer returns
+            # rgb/depth; cycle/ssim terms are train-time quantities)
+            import dataclasses
+
+            val_cfg = dataclasses.replace(cfg.loss, cycle=False, ssim=False)
+            val_losses, _ = lf_loss(val_cfg, batch, out, gt)
+            for k, v in val_losses.items():
+                losses_acc.setdefault(k, []).append(float(v))
+            last = (batch_np, gt, out)
+        logger.log(step, {f"val_{k}": float(np.mean(v)) for k, v in losses_acc.items()})
+        if last is not None:
+            batch_np, gt, out = last
+            S.img_summaries(
+                logger, batch_np, gt, jax.device_get(out), step, prefix="val_",
+                img_shape=(image_size, image_size),
+            )
+
+    return val_fn
