@@ -161,6 +161,7 @@ class CoPoNeRF(nn.Module):
         batch: Dict[str, Any],
         state: SceneState,
         val: bool = False,
+        train: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         ctx = batch["context"]
@@ -212,10 +213,13 @@ class CoPoNeRF(nn.Module):
             def sample(z, p, mode):
                 # measured on v5e: MXU one-hot wins up to 32^2 grids; larger
                 # grids are fastest as bf16 2x2-patch gathers (slice-size
-                # bound), both ~1e-3 relative error
-                if z.shape[1] * z.shape[2] <= 1024:
-                    return grid_sample_onehot(z, p, padding_mode=mode)
-                return grid_sample(z.astype(jnp.bfloat16), p, padding_mode=mode).astype(jnp.float32)
+                # bound), both ~1e-3 relative error.  Everything emits bf16
+                # (the consumers are the bf16 encode Denses).  Under training
+                # the one-hot kernel (no VJP) falls back to the
+                # differentiable patch gather.
+                if z.shape[1] * z.shape[2] <= 1024 and not train:
+                    return grid_sample_onehot(z, p, padding_mode=mode, out_dtype=jnp.bfloat16)
+                return grid_sample(z.astype(jnp.bfloat16), p, padding_mode=mode)
         else:
             def sample(z, p, mode):
                 return grid_sample(z, p, padding_mode=mode)
@@ -275,7 +279,8 @@ class CoPoNeRF(nn.Module):
         iv = interp_val.reshape(B, V, n_rays, S, -1)
 
         def enc(feat, pts):
-            x = jnp.concatenate([feat, jnp.tanh(pts / 5.0)], axis=-1)
+            t = jnp.tanh(pts / 5.0).astype(feat.dtype)  # keep the concat in the sampling dtype
+            x = jnp.concatenate([feat, t], axis=-1)
             return self.query_encode_latent_2(nn.relu(self.query_encode_latent(x)))
 
         iv1 = jnp.concatenate([enc(iv[:, 0], pt_v1_c1), enc(interp_nearest[:, 1], pt_v2_c1)], axis=-1)
@@ -385,4 +390,4 @@ class CoPoNeRF(nn.Module):
 
     def __call__(self, batch: Dict[str, Any], val: bool = False, train: bool = False):
         state = self.encode(batch, train=train)
-        return self.render(batch, state, val=val)
+        return self.render(batch, state, val=val, train=train)

@@ -37,11 +37,41 @@ def _kernel(idx_ref, w_ref, table_ref, out_ref, *, block_p, block_hw, n_hw_chunk
 
     @pl.when(h == 0)
     def _():
-        out_ref[0] = part
+        out_ref[0] = part.astype(out_ref.dtype)
 
     @pl.when(h > 0)
     def _():
-        out_ref[0] = out_ref[0] + part
+        out_ref[0] = (out_ref[0].astype(jnp.float32) + part).astype(out_ref.dtype)
+
+
+def _kernel_banded(band_ref, idx_ref, w_ref, table_ref, out_ref, *, block_p, block_hw):
+    """Band-sparse variant: epipolar samples are ray-coherent, so each point
+    block touches a narrow band of table rows.  HW chunks outside the block's
+    [lo, hi] chunk range are skipped entirely (their one-hot block is zero).
+    band_ref is a scalar-prefetch array (B, NP, 2) of chunk ranges."""
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    h = pl.program_id(2)
+    lo = band_ref[b, p, 0]
+    hi = band_ref[b, p, 1]
+
+    @pl.when(h == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    @pl.when((h >= lo) & (h <= hi))
+    def _():
+        idx = idx_ref[0]
+        w = w_ref[0]
+        ids = jax.lax.broadcasted_iota(jnp.int32, (block_p, block_hw), 1) + h * block_hw
+        m = jnp.zeros((block_p, block_hw), jnp.float32)
+        for c in range(4):
+            m = m + jnp.where(ids == idx[:, c][:, None], w[:, c][:, None], 0.0)
+        part = jnp.dot(
+            m.astype(jnp.bfloat16), table_ref[0].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0] = (out_ref[0].astype(jnp.float32) + part).astype(out_ref.dtype)
 
 
 def onehot_matmul_sample(
@@ -50,9 +80,14 @@ def onehot_matmul_sample(
     corner_w: jnp.ndarray,
     block_p: int = 512,
     block_hw: int = 2048,
+    out_dtype=jnp.float32,
+    band_sparse: bool = False,  # measured slower: epipolar bands span many rows
 ) -> jnp.ndarray:
     """table: (B, HW, C); corner_idx: (B, P, 4) int32 (all in [0, HW));
-    corner_w: (B, P, 4) f32.  Returns (B, P, C) f32 = sum_c w_c * table[idx_c].
+    corner_w: (B, P, 4) f32.  Returns (B, P, C) = sum_c w_c * table[idx_c].
+
+    band_sparse skips HW chunks outside each point block's index band —
+    a large win when points are ray-coherent (epipolar sampling).
     """
     B, HW, C = table.shape
     P = corner_idx.shape[1]
@@ -66,25 +101,56 @@ def onehot_matmul_sample(
     n_hw = HW // block_hw
 
     grid = (B, Pp // block_p, n_hw)
-    kernel = functools.partial(
-        _kernel, block_p=block_p, block_hw=block_hw, n_hw_chunks=n_hw
-    )
     interpret = jax.default_backend() not in ("tpu", "axon")
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((B, Pp, C), jnp.float32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_p, 4), lambda b, p, h: (b, p, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_p, 4), lambda b, p, h: (b, p, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_hw, C), lambda b, p, h: (b, h, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_p, C), lambda b, p, h: (b, p, 0), memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(corner_idx, corner_w, table)
+    out_spec = pl.BlockSpec((1, block_p, C), lambda b, p, h: (b, p, 0), memory_space=pltpu.VMEM)
+    data_specs = [
+        pl.BlockSpec((1, block_p, 4), lambda b, p, h: (b, p, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_p, 4), lambda b, p, h: (b, p, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_hw, C), lambda b, p, h: (b, h, 0), memory_space=pltpu.VMEM),
+    ]
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    if band_sparse and n_hw > 1:
+        # per-block chunk range from the corner ids (points are ray-major, so
+        # blocks are ray-coherent and the band is narrow)
+        blocks = corner_idx.reshape(B, Pp // block_p, block_p, 4)
+        band = jnp.stack(
+            [blocks.min(axis=(2, 3)) // block_hw, blocks.max(axis=(2, 3)) // block_hw],
+            axis=-1,
+        ).astype(jnp.int32)
+        kernel = functools.partial(_kernel_banded, block_p=block_p, block_hw=block_hw)
+        # index maps receive the scalar-prefetch ref as a trailing argument
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_p, 4), lambda b, p, h, band: (b, p, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_p, 4), lambda b, p, h, band: (b, p, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_hw, C), lambda b, p, h, band: (b, h, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_p, C), lambda b, p, h, band: (b, p, 0), memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, Pp, C), out_dtype),
+            grid_spec=grid_spec,
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(band, corner_idx, corner_w, table)
+    else:
+        kernel = functools.partial(
+            _kernel, block_p=block_p, block_hw=block_hw, n_hw_chunks=n_hw
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, Pp, C), out_dtype),
+            grid=grid,
+            in_specs=data_specs,
+            out_specs=out_spec,
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(corner_idx, corner_w, table)
     return out[:, :P]
 
 
@@ -129,11 +195,13 @@ def bilinear_corner_decomposition(grid, H: int, W: int, padding_mode: str, align
     return jnp.stack(idxs, axis=-1), jnp.stack(ws, axis=-1)
 
 
-def grid_sample_onehot(image: jnp.ndarray, grid, padding_mode: str = "zeros", align_corners: bool = False) -> jnp.ndarray:
+def grid_sample_onehot(image: jnp.ndarray, grid, padding_mode: str = "zeros", align_corners: bool = False, out_dtype=jnp.float32, block_hw: int = 2048) -> jnp.ndarray:
     """Drop-in fast variant of ops.grid_sample for small feature grids
-    (HW <= ~4096).  image: (B, H, W, C) -> (B, ..., C) f32."""
+    (HW <= ~4096).  image: (B, H, W, C) -> (B, ..., C)."""
     B, H, W, C = image.shape
     batch_shape = grid.shape[:-1]
     idx, w = bilinear_corner_decomposition(grid, H, W, padding_mode, align_corners)
-    out = onehot_matmul_sample(image.reshape(B, H * W, C), idx, w)
+    out = onehot_matmul_sample(
+        image.reshape(B, H * W, C), idx, w, out_dtype=out_dtype, block_hw=block_hw
+    )
     return out.reshape(*batch_shape, C)

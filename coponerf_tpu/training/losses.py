@@ -76,6 +76,9 @@ def lf_loss(
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
     """Returns (loss_dict, aux) — loss_dict values are scalars; the train
     step sums them (wrapper.py:110-123)."""
+    # note: cfg.depth mirrors the reference's --depth flag, which is inert
+    # there too (LFLoss stores it but implements no depth term,
+    # loss_function.py:90-136)
     losses: Dict[str, jnp.ndarray] = {}
     losses["img_loss"] = image_loss(model_out, gt)
 

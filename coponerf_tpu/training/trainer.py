@@ -37,6 +37,9 @@ class TrainState(train_state.TrainState):
 
 
 def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    """Single Adam group: the reference's encoder/decoder lr split
+    (train.py:66-76) is inert — its `if 'regressor' or ...` condition is
+    always truthy so every parameter lands in one group at the same lr."""
     schedule = optax.exponential_decay(
         init_value=cfg.train.lr,
         transition_steps=max(steps_per_epoch, 1),
@@ -164,8 +167,11 @@ def train(
             logger.log(step, m)
         if cfg.train.iters_til_ckpt and step and step % cfg.train.iters_til_ckpt == 0:
             ckpt_lib.save(ckpt_dir, state, step)
-        if val_fn is not None and step and step % cfg.train.steps_til_summary == 0:
-            val_fn(state, step, logger)
+        if step and step % cfg.train.steps_til_summary == 0:
+            # rolling checkpoint every summary interval (wrapper.py:134-136)
+            ckpt_lib.save(ckpt_dir, state, step, name="model_current")
+            if val_fn is not None:
+                val_fn(state, step, logger)
         try:
             batch = next(it)
         except StopIteration:

@@ -1,0 +1,80 @@
+"""Measure the full training step (fwd+bwd+Adam) on the real chip at the
+per-chip slice of BASELINE config 4 (global batch 48 on v5e-8 => 6/chip,
+256^2 pairs, 192 query rays, pose+cycle+ssim losses), plus encode-only time.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from coponerf_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+
+from coponerf_tpu.config import Config, LossConfig, ModelConfig, TrainConfig  # noqa: E402
+from coponerf_tpu.data.synthetic import make_batch  # noqa: E402
+from coponerf_tpu.models import CoPoNeRF  # noqa: E402
+from coponerf_tpu.training.trainer import TrainState, make_optimizer, make_train_step  # noqa: E402
+from coponerf_tpu.utils.fast_init import fast_init  # noqa: E402
+
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+IMG = 256
+RAYS = 192
+
+
+def main():
+    cfg = Config(
+        model=ModelConfig(compute_dtype="bfloat16", fast_sampling=True),
+        loss=LossConfig(pose=True, cycle=True, ssim=True),
+        train=TrainConfig(),
+    )
+    model = CoPoNeRF(cfg.model)
+    batch_np, _ = make_batch(batch_size=BATCH, image_size=IMG, n_rays=RAYS, seed=0)
+    batch = jax.tree.map(jnp.asarray, batch_np)
+    variables = fast_init(model, batch, val=False, train=True)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=make_optimizer(cfg, steps_per_epoch=100),
+    )
+    step_fn = make_train_step(cfg)
+
+    # encode-only timing
+    @jax.jit
+    def enc_loop(n, v, b):
+        def body(i, acc):
+            bb = dict(b)
+            c = dict(bb["context"])
+            c["rgb"] = c["rgb"] + (i * 1e-30).astype(jnp.float32)
+            bb["context"] = c
+            s = model.apply(v, bb, train=False, method="encode")
+            return acc + jnp.sum(s.rel_pose) + jnp.sum(s.flows[0])
+        return jax.lax.fori_loop(0, n, body, 0.0)
+
+    t0 = time.time()
+    float(enc_loop(jnp.int32(1), variables, batch))
+    print(f"encode compile {time.time() - t0:.0f}s", flush=True)
+    t0 = time.time(); float(enc_loop(jnp.int32(1), variables, batch)); t1 = time.time() - t0
+    t0 = time.time(); float(enc_loop(jnp.int32(5), variables, batch)); t5 = time.time() - t0
+    print(f"encode (batch {BATCH} pairs): {(t5 - t1) / 4 * 1000:.0f} ms", flush=True)
+
+    # full train step: can't loop donated state inside fori easily; time a
+    # python loop of K steps (dispatch overhead ~30ms amortized over step time)
+    t0 = time.time()
+    state, m = step_fn(state, batch)
+    print(f"train step compile {time.time() - t0:.0f}s", flush=True)
+    float(m["total_train_loss"])
+    K = 10
+    t0 = time.time()
+    for _ in range(K):
+        state, m = step_fn(state, batch)
+    loss = float(m["total_train_loss"])  # forces completion of the chain
+    dt = (time.time() - t0) / K
+    print(f"train step (batch {BATCH}): {dt * 1000:.0f} ms  ({BATCH / dt:.1f} pairs/s/chip)  loss={loss:.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

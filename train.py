@@ -78,6 +78,13 @@ def main():
     from coponerf_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
+    # multi-host (DCN) training: set COPONERF_DISTRIBUTED=1 on each host and
+    # the usual JAX coordinator env vars; the same 1-D data mesh then spans
+    # all hosts' devices.
+    if os.environ.get("COPONERF_DISTRIBUTED"):
+        import jax
+
+        jax.distributed.initialize()
     opt = parse_with_config(build_parser())
 
     from coponerf_tpu.config import Config, LossConfig, ModelConfig, TrainConfig
