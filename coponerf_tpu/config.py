@@ -30,6 +30,9 @@ class ModelConfig:
     # relative error vs the exact gather) — the throughput path; parity
     # configs keep this off.
     fast_sampling: bool = False
+    # rematerialize UFC layers under autodiff (trades ~30% encode FLOPs for
+    # the activation memory that otherwise OOMs 256^2 training at batch>3/chip)
+    remat_ufc: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,7 +63,9 @@ class CoPoNeRF(nn.Module):
     def setup(self):
         c = self.cfg
         self.encoder = ResNet34Encoder(name="encoder")
-        self.feature_cost_aggregation = UFC(nhead=c.corr_heads, name="feature_cost_aggregation")
+        self.feature_cost_aggregation = UFC(
+            nhead=c.corr_heads, remat=c.remat_ufc, name="feature_cost_aggregation"
+        )
         self.cross_attention = CrossBlock(name="cross_attention")
         self.pose_regressor = MLPSeq((512, 256, 256), act_last=True, name="pose_regressor")
         self.rotation_regressor = MLPSeq((64, 32, 6), act_first=True, name="rotation_regressor")

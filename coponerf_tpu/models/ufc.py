@@ -238,6 +238,7 @@ class UFC(nn.Module):
     f2c_kernel: Sequence[int] = (3, 3, 5)
     f2c_stride: Sequence[int] = (1, 2, 4)
     f2c_pad: Sequence[int] = (1, 1, 2)
+    remat: bool = True  # rematerialize layers under autodiff (activation memory)
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], nview: int = 2):
@@ -249,9 +250,10 @@ class UFC(nn.Module):
         B2 = feats[0].shape[0]
         B = B2 // nview
         stage_hw = [f.shape[1] for f in feats]
+        layer_cls = nn.remat(UFCLayer) if self.remat else UFCLayer
         layers = [
             [
-                UFCLayer(
+                layer_cls(
                     feat_dim=self.feat_dim[s],
                     corr_size=stage_hw[0],
                     d_model=self.feat_dim[s],
