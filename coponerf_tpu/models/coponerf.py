@@ -285,8 +285,14 @@ class CoPoNeRF(nn.Module):
             x = jnp.concatenate([feat, t], axis=-1)
             return self.query_encode_latent_2(nn.relu(self.query_encode_latent(x)))
 
-        iv1 = jnp.concatenate([enc(iv[:, 0], pt_v1_c1), enc(interp_nearest[:, 1], pt_v2_c1)], axis=-1)
-        iv2 = jnp.concatenate([enc(iv[:, 1], pt_v2_c2), enc(interp_nearest[:, 0], pt_v1_c2)], axis=-1)
+        # one batched call over the 4 (feature-set, point-set) combinations
+        feats4 = jnp.concatenate(
+            [iv[:, 0], interp_nearest[:, 1], iv[:, 1], interp_nearest[:, 0]], axis=0
+        )
+        pts4 = jnp.concatenate([pt_v1_c1, pt_v2_c1, pt_v2_c2, pt_v1_c2], axis=0)
+        enc4 = enc(feats4, pts4).reshape(4, B, n_rays, S, -1)
+        iv1 = jnp.concatenate([enc4[0], enc4[1]], axis=-1)
+        iv2 = jnp.concatenate([enc4[2], enc4[3]], axis=-1)
         interp_val = jnp.stack([iv1, iv2], axis=1).reshape(B * V, n_rays, S, -1)
 
         joint_latent = self.latent_value(interp_val)                       # (B*V, N, S, 416)

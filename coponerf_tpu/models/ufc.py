@@ -209,10 +209,15 @@ class UFCLayer(nn.Module):
         return src_feat, trg_feat
 
     def __call__(self, corr, src_feat, trg_feat, refine_last_corr: bool = True):
-        corr_src, src_ref = self.forward_attention(corr, src_feat)
-        corr_trg, trg_ref = self.forward_attention(
-            jnp.transpose(corr, (0, 1, 4, 5, 2, 3)), trg_feat
-        )
+        # the reference calls forward_attention twice with shared weights
+        # (aggregation.py:343-344); batching the two calls halves the op
+        # count of the heaviest section with identical numerics
+        B = corr.shape[0]
+        corr2 = jnp.concatenate([corr, jnp.transpose(corr, (0, 1, 4, 5, 2, 3))], axis=0)
+        feat2 = jnp.concatenate([src_feat, trg_feat], axis=0)
+        corr_out, feat_out = self.forward_attention(corr2, feat2)
+        corr_src, corr_trg = corr_out[:B], corr_out[B:]
+        src_ref, trg_ref = feat_out[:B], feat_out[B:]
         corr_r = corr_src + jnp.transpose(corr_trg, (0, 1, 4, 5, 2, 3))
         corr_r = corr_r + self.feat_to_corr1(correlation_tokens(src_ref, trg_ref, self.feat_size))
         corr_r = corr_r + self.mlp_refine_corr(corr_r)
