@@ -41,6 +41,27 @@ def maxpool_pair(x: jnp.ndarray, size: int, pair: str) -> jnp.ndarray:
     )
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder so both 4D-conv branches can run as ONE grouped conv
+    while keeping the reference-compatible query_conv/supp_conv param paths."""
+
+    features: int
+    in_channels: int
+    ksize: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", torch_kernel_init,
+            (self.ksize[0], self.ksize[1], self.in_channels, self.features),
+        )
+        bias = self.param(
+            "bias", torch_bias_init(self.in_channels * self.ksize[0] * self.ksize[1]),
+            (self.features,),
+        )
+        return kernel, bias
+
+
 class Conv4d(nn.Module):
     out_channels: int
     kernel_size: Tuple[int, int, int, int]
@@ -49,6 +70,8 @@ class Conv4d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax.lax
+
         B, L, Hq, Wq, Hs, Ws = x.shape
         k, s, p = self.kernel_size, self.stride, self.padding
         change_supp = s[-1] > 1 or (s[0] == 1 and k[0] == 1)
@@ -59,32 +82,40 @@ class Conv4d(nn.Module):
         Hs2, Ws2 = x_query_in.shape[-2:]
         Hq2, Wq2 = x_supp_in.shape[2:4]
 
-        # query branch: conv over (Hq, Wq), support folded into batch
+        kq, bq = _ConvParams(self.out_channels, L, (k[0], k[1]), name="query_conv")()
+        ks_, bs = _ConvParams(self.out_channels, L, (k[2], k[3]), name="supp_conv")()
+
+        # query branch input: conv over (Hq, Wq), support folded into batch
         xq = jnp.transpose(x_query_in, (0, 4, 5, 2, 3, 1)).reshape(B * Hs2 * Ws2, Hq, Wq, L)
-        xq = nn.Conv(
-            self.out_channels,
-            (k[0], k[1]),
-            strides=(s[0], s[1]),
-            padding=((p[0], p[0]), (p[1], p[1])),
-            kernel_init=torch_kernel_init,
-            bias_init=torch_bias_init(L * k[0] * k[1]),
-            name="query_conv",
-        )(xq)
+        # support branch input: conv over (Hs, Ws), query folded into batch
+        xs = jnp.transpose(x_supp_in, (0, 2, 3, 4, 5, 1)).reshape(B * Hq2 * Wq2, Hs, Ws, L)
+
+        symmetric = k[0] == k[2] and s[0] == s[2] and p[0] == p[2] and xq.shape == xs.shape
+        if symmetric:
+            # one grouped conv over the channel-concatenated branches
+            xin = jnp.concatenate([xq, xs], axis=-1)
+            kcat = jnp.concatenate([kq, ks_], axis=-1)
+            out = jax.lax.conv_general_dilated(
+                xin, kcat, window_strides=(s[0], s[1]),
+                padding=((p[0], p[0]), (p[1], p[1])),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=2,
+            )
+            xq = out[..., : self.out_channels] + bq
+            xs = out[..., self.out_channels:] + bs
+        else:
+            xq = jax.lax.conv_general_dilated(
+                xq, kq, (s[0], s[1]), ((p[0], p[0]), (p[1], p[1])),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bq
+            xs = jax.lax.conv_general_dilated(
+                xs, ks_, (s[2], s[3]), ((p[2], p[2]), (p[3], p[3])),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bs
+
         Hqo, Wqo = xq.shape[1:3]
         xq = xq.reshape(B, Hs2, Ws2, Hqo, Wqo, self.out_channels)
         xq = jnp.transpose(xq, (0, 5, 3, 4, 1, 2))
-
-        # support branch: conv over (Hs, Ws), query folded into batch
-        xs = jnp.transpose(x_supp_in, (0, 2, 3, 4, 5, 1)).reshape(B * Hq2 * Wq2, Hs, Ws, L)
-        xs = nn.Conv(
-            self.out_channels,
-            (k[2], k[3]),
-            strides=(s[2], s[3]),
-            padding=((p[2], p[2]), (p[3], p[3])),
-            kernel_init=torch_kernel_init,
-            bias_init=torch_bias_init(L * k[2] * k[3]),
-            name="supp_conv",
-        )(xs)
         Hso, Wso = xs.shape[1:3]
         xs = xs.reshape(B, Hq2, Wq2, Hso, Wso, self.out_channels)
         xs = jnp.transpose(xs, (0, 5, 1, 2, 3, 4))

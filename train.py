@@ -112,6 +112,26 @@ def main():
 
     train_iter = (b for b, _ in iter(make_dataset(opt)))
 
+    val_fn = None
+    if opt.val_root:
+        from coponerf_tpu.data.scene_dataset import batch_iterator
+        from coponerf_tpu.training.validation import make_val_fn
+
+        if opt.dataset == "acid":
+            from coponerf_tpu.data.acid import ACID as ValDS
+        else:
+            from coponerf_tpu.data.realestate import RealEstate10k as ValDS
+        val_ds = ValDS(opt.val_root, opt.val_pose_root or opt.pose_root,
+                       num_ctxt_views=opt.views, num_query_views=1,
+                       query_sparsity=None, augment=False)
+        val_batches = []
+        it = batch_iterator(val_ds, batch_size=1, shuffle=False)
+        for i, vb in enumerate(it):
+            val_batches.append(vb)
+            if i >= 1:
+                break
+        val_fn = make_val_fn(cfg, val_batches, image_size=opt.image_size)
+
     state = None
     if opt.checkpoint_path:
         import jax
@@ -130,7 +150,7 @@ def main():
             state = ckpt_lib.restore_into(state, opt.checkpoint_path)
         print(f"Loaded weights from {opt.checkpoint_path}")
 
-    trainer.train(cfg, train_iter, num_steps=opt.max_steps, state=state)
+    trainer.train(cfg, train_iter, num_steps=opt.max_steps, state=state, val_fn=val_fn)
 
 
 if __name__ == "__main__":
