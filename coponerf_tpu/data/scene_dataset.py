@@ -316,6 +316,54 @@ class VisSceneDataset(SceneDataset):
         raise RuntimeError(f"no loadable scene near index {orig_idx}")
 
 
+class CameraPathDataset(SceneDataset):
+    """Per-scene camera-path batches for trajectory rendering: the first and
+    last (or clamped-window) frames become the context pair and EVERY frame's
+    pose becomes a query (reference analogue: get_camera_pose,
+    realestate10k_dataio.py:80-172 + test.py render path)."""
+
+    def __init__(self, cfg: SceneDatasetConfig, max_frames: int = 128):
+        super().__init__(cfg)
+        self.max_frames = max_frames
+
+    def __getitem__(self, idx: int):
+        loaded = self._load_scene(idx)
+        if loaded is None:
+            raise IndexError(idx)
+        data, rgb_files, timestamps, pose = loaded
+        n = min(len(timestamps), self.max_frames)
+        ctx_ids = [0, n - 1]
+        c_rgb, c_K, c_c2w = [], [], []
+        for i in ctx_ids:
+            cam = parse_pose(pose, timestamps[i])
+            rgb, K, c2w = self._get_processed(data, rgb_files, i, cam)
+            c_rgb.append(rgb)
+            c_K.append(K)
+            c_c2w.append(c2w)
+        q_c2w, q_K = [], []
+        for i in range(1, n):
+            cam = parse_pose(pose, timestamps[i])
+            K = unnormalize_intrinsics(cam.intrinsics, self.H, self.W)
+            K[0, 2] /= self.xscale
+            K[1, 2] /= self.yscale
+            q_c2w.append(cam.c2w.astype(np.float32))
+            q_K.append(K.astype(np.float32))
+        dim = self.cfg.image_size
+        g = np.stack(np.meshgrid(np.arange(dim), np.arange(dim)), -1).reshape(-1, 2)
+        return {
+            "context": {
+                "rgb": np.stack(c_rgb),
+                "cam2world": np.stack(c_c2w),
+                "intrinsics": np.stack(c_K),
+            },
+            "query_path": {
+                "cam2world": np.stack(q_c2w),
+                "intrinsics": np.stack(q_K),
+                "uv": g.astype(np.float32),
+            },
+        }
+
+
 def batch_iterator(
     dataset, batch_size: int, shuffle: bool = True, seed: int = 0, drop_last: bool = True
 ) -> Iterator:

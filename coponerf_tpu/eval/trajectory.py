@@ -40,6 +40,42 @@ def interpolate_poses(pose_a: np.ndarray, pose_b: np.ndarray, n: int) -> np.ndar
     return np.stack(out)
 
 
+def render_scene_path(
+    model,
+    variables,
+    path_item: Dict,
+    image_size: int = 256,
+    chunk: int = 4096,
+    max_frames: Optional[int] = None,
+) -> np.ndarray:
+    """Render every query pose of a CameraPathDataset item (the reference's
+    get_camera_pose protocol: contexts at the sequence ends, one render per
+    intermediate frame pose), reusing one encode."""
+    encode, render_image = make_renderer(model, chunk)
+    ctx = jax.tree.map(lambda x: jnp.asarray(x)[None], path_item["context"])
+    n_rays = image_size * image_size
+    uv = jnp.asarray(path_item["query_path"]["uv"])[None, None]
+    poses = path_item["query_path"]["cam2world"]
+    intr = path_item["query_path"]["intrinsics"]
+    if max_frames:
+        poses, intr = poses[:max_frames], intr[:max_frames]
+    state = encode(variables, {"context": ctx, "query": {
+        "uv": uv, "rgb": jnp.zeros((1, 1, n_rays, 3)),
+        "cam2world": jnp.asarray(poses[0])[None, None],
+        "intrinsics": jnp.asarray(intr[0])[None, None]}})
+    frames = []
+    for i in range(len(poses)):
+        q = {
+            "uv": uv,
+            "rgb": jnp.zeros((1, 1, n_rays, 3), jnp.float32),
+            "cam2world": jnp.asarray(poses[i])[None, None],
+            "intrinsics": jnp.asarray(intr[i])[None, None],
+        }
+        rgb, _ = render_image(variables, {"context": ctx, "query": q}, state, n_rays)
+        frames.append(np.asarray(rgb).reshape(image_size, image_size, 3))
+    return np.stack(frames)
+
+
 def render_trajectory(
     model,
     variables,

@@ -117,3 +117,15 @@ def test_cache_backend_matches_npz(fake_root):
     np.testing.assert_allclose(item_c["context"]["cam2world"], item_n["context"]["cam2world"], atol=1e-6)
     assert np.abs(item_c["context"]["rgb"] - item_n["context"]["rgb"]).mean() < 2e-2
     os.remove(os.path.join(scene, "scene.cache"))
+
+
+def test_camera_path_dataset(fake_root):
+    from coponerf_tpu.data.scene_dataset import CameraPathDataset, SceneDatasetConfig
+    img_root, pose_root, _ = fake_root
+    ds = CameraPathDataset(SceneDatasetConfig(img_root=img_root, pose_root=pose_root), max_frames=16)
+    item = ds[0]
+    assert item["context"]["rgb"].shape == (2, 256, 256, 3)
+    assert item["query_path"]["cam2world"].shape == (15, 4, 4)
+    assert item["query_path"]["uv"].shape == (256 * 256, 2)
+    # context poses are the path endpoints
+    np.testing.assert_allclose(item["context"]["cam2world"][1], item["query_path"]["cam2world"][-1])
