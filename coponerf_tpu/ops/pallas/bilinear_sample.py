@@ -154,6 +154,90 @@ def onehot_matmul_sample(
     return out[:, :P]
 
 
+def _kernel_transpose(idx_ref, w_ref, g_ref, out_ref, *, block_hw, block_p):
+    """dL/dtable = M^T @ g, accumulated over point chunks."""
+    pc = pl.program_id(2)
+    idx = idx_ref[0]          # (BLOCK_P, 4)
+    w = w_ref[0]              # (BLOCK_P, 4)
+    hb = pl.program_id(1)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (block_hw, block_p), 0) + hb * block_hw
+    mt = jnp.zeros((block_hw, block_p), jnp.float32)
+    for c in range(4):
+        mt = mt + jnp.where(ids == idx[:, c][None, :], w[:, c][None, :], 0.0)
+    part = jnp.dot(
+        mt.astype(jnp.bfloat16), g_ref[0].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pc == 0)
+    def _():
+        out_ref[0] = part.astype(out_ref.dtype)
+
+    @pl.when(pc > 0)
+    def _():
+        out_ref[0] = (out_ref[0].astype(jnp.float32) + part).astype(out_ref.dtype)
+
+
+def onehot_transpose_matmul(g, corner_idx, corner_w, HW: int, block_hw: int = 512, block_p: int = 2048):
+    """g: (B, P, C) cotangent -> dtable (B, HW, C)."""
+    B, P, C = g.shape
+    block_hw = min(block_hw, HW)
+    pad_p = (-P) % block_p
+    if pad_p:
+        g = jnp.pad(g, ((0, 0), (0, pad_p), (0, 0)))
+        corner_idx = jnp.pad(corner_idx, ((0, 0), (0, pad_p), (0, 0)), constant_values=-1)
+        corner_w = jnp.pad(corner_w, ((0, 0), (0, pad_p), (0, 0)))
+    Pp = P + pad_p
+    pad_hw = (-HW) % block_hw
+    HWp = HW + pad_hw
+    grid = (B, HWp // block_hw, Pp // block_p)
+    kernel = functools.partial(_kernel_transpose, block_hw=block_hw, block_p=block_p)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, HWp, C), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_p, 4), lambda b, h, p: (b, p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_p, 4), lambda b, h, p: (b, p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_p, C), lambda b, h, p: (b, p, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_hw, C), lambda b, h, p: (b, h, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(corner_idx, corner_w, g)
+    return out[:, :HW]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def onehot_sample_diff(table, corner_idx, corner_w, out_dtype):
+    """Differentiable one-hot sampling: gradient flows to ``table`` only.
+    Sampling coordinates are treated as constants — exactly right for the
+    training path, where epipolar geometry derives from GT poses
+    (CoPoNeRF.py:244: query_cam2world from data, not parameters)."""
+    return onehot_matmul_sample(table, corner_idx, corner_w, out_dtype=out_dtype)
+
+
+def _onehot_fwd(table, corner_idx, corner_w, out_dtype):
+    out = onehot_matmul_sample(table, corner_idx, corner_w, out_dtype=out_dtype)
+    # zero-byte carrier keeps HW and the table dtype STATIC in the backward
+    carrier = jnp.zeros((table.shape[1], 0), table.dtype)
+    return out, (corner_idx, corner_w, carrier)
+
+
+def _onehot_bwd(out_dtype, res, g):
+    corner_idx, corner_w, carrier = res
+    dtable = onehot_transpose_matmul(
+        g.astype(jnp.float32), corner_idx, corner_w, carrier.shape[0]
+    )
+    return dtable.astype(carrier.dtype), None, jnp.zeros_like(corner_w)
+
+
+onehot_sample_diff.defvjp(_onehot_fwd, _onehot_bwd)
+
+
 def bilinear_corner_decomposition(grid, H: int, W: int, padding_mode: str, align_corners: bool = False):
     """Shared with ops.grid_sample semantics: returns in-bounds flat corner
     ids (B, P, 4) and weights (B, P, 4) implementing border/zeros bilinear
@@ -201,7 +285,7 @@ def grid_sample_onehot(image: jnp.ndarray, grid, padding_mode: str = "zeros", al
     B, H, W, C = image.shape
     batch_shape = grid.shape[:-1]
     idx, w = bilinear_corner_decomposition(grid, H, W, padding_mode, align_corners)
-    out = onehot_matmul_sample(
-        image.reshape(B, H * W, C), idx, w, out_dtype=out_dtype, block_hw=block_hw
+    out = onehot_sample_diff(
+        image.reshape(B, H * W, C), idx, jax.lax.stop_gradient(w), out_dtype
     )
     return out.reshape(*batch_shape, C)
