@@ -209,23 +209,28 @@ class CoPoNeRF(nn.Module):
         interval = jnp.linspace(0.0, 1.0, S)
         pixel_val = start[:, :, None, :] + (end - start)[:, :, None, :] * interval[None, None, :, None]
 
-        if cfg.fast_sampling:
-            from coponerf_tpu.ops.pallas.bilinear_sample import grid_sample_onehot
+        # Latent sampling is always table-grad-only under autodiff: the
+        # epipolar coordinates derive from GT poses (no parameters upstream),
+        # and XLA's scatter-based gather transpose is a serial per-index loop
+        # on TPU (~700ms/level) vs the MXU transpose kernel (~1-6ms).
+        from coponerf_tpu.ops.pallas.bilinear_sample import (
+            grid_sample_onehot,
+            grid_sample_tablegrad,
+        )
 
+        if cfg.fast_sampling:
             def sample(z, p, mode):
                 # measured on v5e: MXU one-hot wins up to 32^2 grids; larger
                 # grids are fastest as bf16 2x2-patch gathers (slice-size
                 # bound), both ~1e-3 relative error.  Everything emits bf16
-                # (the consumers are the bf16 encode Denses).  The one-hot
-                # kernel has a custom VJP, but under training the patch
-                # gather is preferred: the kernel's saved residuals tip
-                # 256^2 batch-6 training over HBM.
+                # (the consumers are the bf16 encode Denses).  Under training
+                # the patch gather keeps HBM headroom (no kernel residuals).
                 if z.shape[1] * z.shape[2] <= 1024 and not train:
                     return grid_sample_onehot(z, p, padding_mode=mode, out_dtype=jnp.bfloat16)
-                return grid_sample(z.astype(jnp.bfloat16), p, padding_mode=mode)
+                return grid_sample_tablegrad(z.astype(jnp.bfloat16), p, mode)
         else:
             def sample(z, p, mode):
-                return grid_sample(z, p, padding_mode=mode)
+                return grid_sample_tablegrad(z, p, mode)
 
         # primary features: all 4 latents sampled along the segments (border pad)
         interp_val = jnp.concatenate(
