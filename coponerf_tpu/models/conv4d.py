@@ -1,13 +1,17 @@
 """Separable 4D convolution over correlation volumes.
 
-Parity target: models/conv4d.py:7-163.  A Conv4d over (B, L, Hq, Wq, Hs, Ws)
-is decomposed (as in the reference) into a 2D conv over the query pair with
-the support pair folded into the batch, plus a 2D conv over the support pair
-with the query pair folded in, summed.  When strided, each branch first
-max-pools the *other* pair (kernel = stride, ceil mode).
+Parity target: models/conv4d.py:7-163.  A Conv4d over a correlation volume is
+decomposed (as in the reference) into a 2D conv over the query pair with the
+support pair folded into the batch, plus a 2D conv over the support pair with
+the query pair folded in, summed.  When strided, each branch first max-pools
+the *other* pair (kernel = stride, ceil mode).  The two branches run as ONE
+grouped NHWC convolution.
 
-On TPU both branches lower to large-batch NHWC convolutions that XLA maps to
-the MXU via implicit GEMM.
+TPU layout note: correlation volumes are carried FLATTENED as
+``(B, L, Hq*Wq, Hs*Ws)`` throughout the framework — the naive 6D layout puts
+a 16- or 64-wide axis in the lane dimension, which the (8, 128) tiling pads
+8x/2x in HBM (measured: it is what OOMs 256^2 training).  Spatial pairs are
+materialized only transiently inside the conv/pool ops.
 """
 
 from __future__ import annotations
@@ -21,24 +25,35 @@ import jax.numpy as jnp
 from coponerf_tpu.models.layers import GroupNormND, torch_kernel_init, torch_bias_init
 
 
-def maxpool_pair(x: jnp.ndarray, size: int, pair: str) -> jnp.ndarray:
-    """Max-pool one coordinate pair of a 6D volume with kernel=stride=size,
-    ceil_mode=True (right-pad with -inf)."""
+def maxpool_pair_flat(x: jnp.ndarray, size: int, pair: str, qhw: Tuple[int, int], shw: Tuple[int, int]):
+    """Max-pool one coordinate pair of a flattened volume (B, L, Q, S) with
+    kernel=stride=size, ceil_mode=True (right-pad with -inf)."""
     if size == 1:
-        return x
+        return x, qhw, shw
+    B, L, Q, S = x.shape
+    hq, wq = qhw
+    hs, ws = shw
     if pair == "support":
-        window = (1, 1, 1, 1, size, size)
-        dims = (-2, -1)
+        x6 = x.reshape(B, L, Q, hs, ws)
+        window = (1, 1, 1, size, size)
+        dims = (3, 4)
     else:
-        window = (1, 1, size, size, 1, 1)
+        x6 = x.reshape(B, L, hq, wq, S)
+        window = (1, 1, size, size, 1)
         dims = (2, 3)
-    pads = [(0, 0)] * 6
+    pads = [(0, 0)] * 5
     for d in dims:
-        extra = (-x.shape[d]) % size
-        pads[d % 6] = (0, extra)
-    return lax.reduce_window(
-        x, -jnp.inf, lax.max, window_dimensions=window, window_strides=window, padding=pads
+        pads[d] = (0, (-x6.shape[d]) % size)
+    out = lax.reduce_window(
+        x6, -jnp.inf, lax.max, window_dimensions=window, window_strides=window, padding=pads
     )
+    if pair == "support":
+        hs, ws = out.shape[3], out.shape[4]
+        out = out.reshape(B, L, Q, hs * ws)
+    else:
+        hq, wq = out.shape[2], out.shape[3]
+        out = out.reshape(B, L, hq * wq, S)
+    return out, (hq, wq), (hs, ws)
 
 
 class _ConvParams(nn.Module):
@@ -69,33 +84,35 @@ class Conv4d(nn.Module):
     padding: Tuple[int, int, int, int]
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        import jax.lax
-
-        B, L, Hq, Wq, Hs, Ws = x.shape
+    def __call__(self, x: jnp.ndarray, qhw: Tuple[int, int], shw: Tuple[int, int]):
+        """x: (B, L, Hq*Wq, Hs*Ws) -> (B, L', Hq'*Wq', Hs'*Ws'), plus the new
+        spatial dims."""
+        B, L, Q, S = x.shape
         k, s, p = self.kernel_size, self.stride, self.padding
         change_supp = s[-1] > 1 or (s[0] == 1 and k[0] == 1)
         change_query = s[0] > 1 or (s[0] == 1 and k[0] == 1)
 
-        x_query_in = maxpool_pair(x, s[-1], "support") if change_supp else x
-        x_supp_in = maxpool_pair(x, s[0], "query") if change_query else x
-        Hs2, Ws2 = x_query_in.shape[-2:]
-        Hq2, Wq2 = x_supp_in.shape[2:4]
+        xq_in, qhw_q, shw_q = maxpool_pair_flat(x, s[-1], "support", qhw, shw) if change_supp else (x, qhw, shw)
+        xs_in, qhw_s, shw_s = maxpool_pair_flat(x, s[0], "query", qhw, shw) if change_query else (x, qhw, shw)
 
         kq, bq = _ConvParams(self.out_channels, L, (k[0], k[1]), name="query_conv")()
         ks_, bs = _ConvParams(self.out_channels, L, (k[2], k[3]), name="supp_conv")()
 
-        # query branch input: conv over (Hq, Wq), support folded into batch
-        xq = jnp.transpose(x_query_in, (0, 4, 5, 2, 3, 1)).reshape(B * Hs2 * Ws2, Hq, Wq, L)
-        # support branch input: conv over (Hs, Ws), query folded into batch
-        xs = jnp.transpose(x_supp_in, (0, 2, 3, 4, 5, 1)).reshape(B * Hq2 * Wq2, Hs, Ws, L)
+        hq, wq = qhw_q  # query-branch conv spatial dims
+        hs, ws = shw_s  # support-branch conv spatial dims
+        Sq = xq_in.shape[-1]
+        Qs = xs_in.shape[-2]
+
+        # query branch: conv over (Hq, Wq), support folded into batch
+        xq = jnp.transpose(xq_in.reshape(B, L, hq, wq, Sq), (0, 4, 2, 3, 1)).reshape(B * Sq, hq, wq, L)
+        # support branch: conv over (Hs, Ws), query folded into batch
+        xs = jnp.transpose(xs_in.reshape(B, L, Qs, hs, ws), (0, 2, 3, 4, 1)).reshape(B * Qs, hs, ws, L)
 
         symmetric = k[0] == k[2] and s[0] == s[2] and p[0] == p[2] and xq.shape == xs.shape
         if symmetric:
-            # one grouped conv over the channel-concatenated branches
             xin = jnp.concatenate([xq, xs], axis=-1)
             kcat = jnp.concatenate([kq, ks_], axis=-1)
-            out = jax.lax.conv_general_dilated(
+            out = lax.conv_general_dilated(
                 xin, kcat, window_strides=(s[0], s[1]),
                 padding=((p[0], p[0]), (p[1], p[1])),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -104,27 +121,25 @@ class Conv4d(nn.Module):
             xq = out[..., : self.out_channels] + bq
             xs = out[..., self.out_channels:] + bs
         else:
-            xq = jax.lax.conv_general_dilated(
+            xq = lax.conv_general_dilated(
                 xq, kq, (s[0], s[1]), ((p[0], p[0]), (p[1], p[1])),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + bq
-            xs = jax.lax.conv_general_dilated(
+            xs = lax.conv_general_dilated(
                 xs, ks_, (s[2], s[3]), ((p[2], p[2]), (p[3], p[3])),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + bs
 
-        Hqo, Wqo = xq.shape[1:3]
-        xq = xq.reshape(B, Hs2, Ws2, Hqo, Wqo, self.out_channels)
-        xq = jnp.transpose(xq, (0, 5, 3, 4, 1, 2))
-        Hso, Wso = xs.shape[1:3]
-        xs = xs.reshape(B, Hq2, Wq2, Hso, Wso, self.out_channels)
-        xs = jnp.transpose(xs, (0, 5, 1, 2, 3, 4))
-
-        return xq + xs
+        hqo, wqo = xq.shape[1:3]
+        hso, wso = xs.shape[1:3]
+        # back to flattened (B, L', Q', S')
+        xq = jnp.transpose(xq.reshape(B, Sq, hqo * wqo, self.out_channels), (0, 3, 2, 1))
+        xs = jnp.transpose(xs.reshape(B, Qs, hso * wso, self.out_channels), (0, 3, 1, 2))
+        return xq + xs, (hqo, wqo), (hso, wso)
 
 
 class Encoder4D(nn.Module):
-    """N x (Conv4d -> GroupNorm -> ReLU) over a correlation volume
+    """N x (Conv4d -> GroupNorm -> ReLU) over a flattened correlation volume
     (models/conv4d.py:138-163)."""
 
     corr_levels: Sequence[int]
@@ -134,9 +149,9 @@ class Encoder4D(nn.Module):
     group: Sequence[int] = (1,)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, qhw: Tuple[int, int], shw: Tuple[int, int]):
         for i, (k, s, p) in enumerate(zip(self.kernel_size, self.stride, self.padding)):
-            x = Conv4d(self.corr_levels[i + 1], k, s, p, name=f"conv4d_{i}")(x)
+            x, qhw, shw = Conv4d(self.corr_levels[i + 1], k, s, p, name=f"conv4d_{i}")(x, qhw, shw)
             x = GroupNormND(self.group[i], self.corr_levels[i + 1], name=f"gn_{i}")(x)
             x = nn.relu(x)
-        return x
+        return x, qhw, shw

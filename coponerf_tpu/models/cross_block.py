@@ -46,7 +46,7 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x1, x2, corr, intrinsics):
-        """x1/x2: (B, N, C) normalized tokens; corr: (B, 1, h, w, h, w)."""
+        """x1/x2: (B, N, C) normalized tokens; corr: (B, 1, N, N) flattened."""
         B, N, C = x1.shape
         attn_1 = corr[:, 0].reshape(B, N, N)  # (src, trg)
         attn_2 = jnp.swapaxes(attn_1, -1, -2)

@@ -8,8 +8,10 @@ refined jointly by linear attention, 4D-conv MLPs, and a dual-softmax cross
 update, with residual upsampling across stages.  The final flows come from a
 soft-argmax over the average of the three correlations upsampled to 64^4.
 
-Token layout is row-major (B, H*W, C); correlation layout is the reference's
-(B, L, H_src, W_src, H_trg, W_trg); feature maps are NHWC.
+TPU layout: correlation volumes are FLATTENED to (B, L, Hq*Wq, Hs*Ws)
+end-to-end — the reference's 6D layout leaves a 16/64-wide axis in the lane
+dimension, which the (8,128) tiling pads 8x/2x in HBM.  Token layout is
+row-major (B, H*W, C); feature maps are NHWC.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ import jax.numpy as jnp
 from coponerf_tpu.models.conv4d import Encoder4D
 from coponerf_tpu.models.layers import Dense
 from coponerf_tpu.ops.correlation import (
-    correlation_tokens,
+    l2_normalize_channels,
     soft_argmax,
     unnormalise_and_convert_mapping_to_flow,
 )
@@ -46,25 +48,44 @@ def linear_attention(q, k, v, eps: float = 1e-6):
     return out
 
 
-def corr_to_feat_tokens(corr: jnp.ndarray, feat_hw: Tuple[int, int]) -> jnp.ndarray:
-    """(B, H, Hs, Ws, Ht, Wt) -> tokens (B, feat_h*feat_w, H*Ht*Wt): flatten
-    heads x target into channels over the source grid and resize."""
-    b, h, hs, ws, ht, wt = corr.shape
-    x = jnp.transpose(corr, (0, 1, 4, 5, 2, 3)).reshape(b, h * ht * wt, hs, ws)
+def correlation_tokens_flat(src_tokens: jnp.ndarray, trg_tokens: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Cosine correlation between token sequences (B, N, C) -> (B, 1, N, N)."""
+    src = l2_normalize_channels(src_tokens, eps)
+    trg = l2_normalize_channels(trg_tokens, eps)
+    return jnp.einsum("bnc,bmc->bnm", src, trg)[:, None]
+
+
+def corr_to_feat_tokens(corr: jnp.ndarray, qhw: Tuple[int, int], shw: Tuple[int, int], feat_hw: Tuple[int, int]) -> jnp.ndarray:
+    """(B, H, Q, S) -> tokens (B, feat_h*feat_w, H*S): flatten heads x target
+    into channels over the source grid and resize."""
+    b, h, Q, S = corr.shape
+    x = jnp.swapaxes(corr, 2, 3).reshape(b, h * S, qhw[0], qhw[1])
     x = resize_bilinear(x, feat_hw, align_corners=True, axes=(-2, -1))
-    x = x.reshape(b, h * ht * wt, feat_hw[0] * feat_hw[1])
+    x = x.reshape(b, h * S, feat_hw[0] * feat_hw[1])
     return jnp.swapaxes(x, 1, 2)
 
 
-def feat_tokens_to_corr(tokens: jnp.ndarray, heads: int, trg_hw: Tuple[int, int], src_hw: Tuple[int, int]) -> jnp.ndarray:
-    """tokens (B, N, H, Ht*Wt) over an N=(h*w) source grid -> correlation
-    (B, H, src_h, src_w, Ht, Wt), resizing the source grid to src_hw."""
-    b, n, h, twt = tokens.shape
-    ht, wt = trg_hw
+def feat_tokens_to_corr(tokens: jnp.ndarray, heads: int, src_hw: Tuple[int, int]) -> jnp.ndarray:
+    """tokens (B, N, H, S) over an N=(h*w) source grid -> flattened
+    correlation (B, H, src_h*src_w, S), resizing the source grid to src_hw."""
+    b, n, h, S = tokens.shape
     grid = int(round(n ** 0.5))
-    x = jnp.transpose(tokens, (0, 2, 3, 1)).reshape(b, h * twt, grid, grid)
+    x = jnp.transpose(tokens, (0, 2, 3, 1)).reshape(b, h * S, grid, grid)
     x = resize_bilinear(x, src_hw, align_corners=True, axes=(-2, -1))
-    return x.reshape(b, h, ht, wt, src_hw[0], src_hw[1]).transpose(0, 1, 4, 5, 2, 3)
+    x = x.reshape(b, h, S, src_hw[0] * src_hw[1])
+    return jnp.swapaxes(x, 2, 3)
+
+
+def interpolate4d_flat(corr: jnp.ndarray, qhw, shw, out_q, out_s, align_corners: bool = True) -> jnp.ndarray:
+    """Resize a flattened volume (B, C, Q, S) on all four spatial axes, as the
+    reference does in two 2D passes (models/aggregation.py:49-56)."""
+    b, c, Q, S = corr.shape
+    x = corr.reshape(b, c, Q, shw[0], shw[1])
+    x = resize_bilinear(x, out_s, align_corners, axes=(-2, -1))
+    x = x.reshape(b, c, Q, out_s[0] * out_s[1])
+    x = x.reshape(b, c, qhw[0], qhw[1], out_s[0] * out_s[1])
+    x = resize_bilinear(x, out_q, align_corners, axes=(2, 3))
+    return x.reshape(b, c, out_q[0] * out_q[1], out_s[0] * out_s[1])
 
 
 class TokenMLP(nn.Module):
@@ -144,63 +165,70 @@ class UFCLayer(nn.Module):
             "pos_embed", _trunc_normal(0.02), (1, self.feat_size[0] ** 2, 1, self.dim)
         )
 
+    @property
+    def _grid(self):
+        return (self.corr_size, self.corr_size)
+
     def forward_attention(self, corr, feat):
         """Joint self-attention over [corr || feat] tokens that refines both
-        the features and the correlation (models/aggregation.py:269-310)."""
-        B, H, H_s, W_s, H_t, W_t = corr.shape
+        the features and the correlation (models/aggregation.py:269-310).
+        corr: (B, H, Q, S) flattened at the stage-0 grid."""
+        B, H, Q, S = corr.shape
+        g = self._grid
         feat_r = feat
         feat = self.norm1(feat)
 
-        corr_tok = corr_to_feat_tokens(corr, self.feat_size)  # (B, N, H*Ht*Wt)
+        corr_tok = corr_to_feat_tokens(corr, g, g, self.feat_size)  # (B, N, H*S)
         cf = jnp.concatenate([corr_tok, feat], axis=-1)
 
         query = self.q_proj(cf).reshape(B, -1, self.nhead, self.dim) + self.pos_embed
         key = self.k_proj(cf).reshape(B, -1, self.nhead, self.dim) + self.pos_embed
         value_feat = self.v_proj(feat).reshape(B, -1, self.nhead, self.dim)
 
-        vc = self.v_proj_corr(corr)
-        value_corr = corr_to_feat_tokens(vc, self.feat_size).reshape(
-            B, self.feat_size[0] * self.feat_size[1], self.nhead, H_t * W_t
+        vc, _, _ = self.v_proj_corr(corr, g, g)
+        value_corr = corr_to_feat_tokens(vc, g, g, self.feat_size).reshape(
+            B, self.feat_size[0] * self.feat_size[1], self.nhead, S
         )
 
         msg_feat = linear_attention(query, key, value_feat).reshape(B, -1, self.nhead * self.dim)
         msg_corr = linear_attention(query, key, value_corr)
-        msg_corr = feat_tokens_to_corr(msg_corr, self.nhead, (H_t, W_t), (H_s, W_s))
+        msg_corr = feat_tokens_to_corr(msg_corr, self.nhead, g)
 
         msg_feat = feat_r + msg_feat
         msg_corr = corr + msg_corr
         msg_feat = msg_feat + self.mlp(self.norm2(msg_feat))
-        msg_corr = msg_corr + self.mlp_corr(msg_corr)
+        mc, _, _ = self.mlp_corr(msg_corr, g, g)
+        msg_corr = msg_corr + mc
         return msg_corr, msg_feat
 
     def forward_cross(self, corr, src_feat, trg_feat):
         """Dual-softmax cross-attention feature update
-        (models/aggregation.py:312-340)."""
-        B, H, H_s, W_s, H_t, W_t = corr.shape
-        c = corr.reshape(B, H, H_s * W_s, H_t * W_t)
+        (models/aggregation.py:312-340).  corr: (B, H, Q, S) flattened."""
+        B, H, Q, S = corr.shape
+        hs = ws = self.corr_size
         fh, fw = self.feat_size
-        p1, p2 = fh // H_s, fw // W_s
+        p1, p2 = fh // hs, fw // ws
 
-        def pool_tokens(tokens, gh, gw):
-            x = tokens.reshape(B, fh // gh, gh, fw // gw, gw, self.d_model)
+        def pool_tokens(tokens):
+            x = tokens.reshape(B, hs, p1, ws, p2, self.d_model)
             return x.mean(axis=(2, 4)).reshape(B, -1, self.d_model)
 
-        src_r = pool_tokens(src_feat, p1, p2)
-        trg_r = pool_tokens(trg_feat, fh // H_t, fw // W_t)
+        src_r = pool_tokens(src_feat)
+        trg_r = pool_tokens(trg_feat)
 
         trg_v = self.v_cross(self.norm_cross1(trg_r)).reshape(B, -1, self.nhead, self.dim)
         src_v = self.v_cross(self.norm_cross1(src_r)).reshape(B, -1, self.nhead, self.dim)
 
-        src_attn = jnp.einsum("bhst,bthc->bshc", nn.softmax(c, axis=-1), trg_v).reshape(B, -1, self.d_model)
-        trg_attn = jnp.einsum("bhst,bshc->bthc", nn.softmax(c, axis=-2), src_v).reshape(B, -1, self.d_model)
+        src_attn = jnp.einsum("bhst,bthc->bshc", nn.softmax(corr, axis=-1), trg_v).reshape(B, -1, self.d_model)
+        trg_attn = jnp.einsum("bhst,bshc->bthc", nn.softmax(corr, axis=-2), src_v).reshape(B, -1, self.d_model)
 
-        def unpool_tokens(tokens, gh, gw, ph, pw):
-            x = tokens.reshape(B, gh, gw, self.d_model)
-            x = jnp.repeat(jnp.repeat(x, ph, axis=1), pw, axis=2)
+        def unpool_tokens(tokens):
+            x = tokens.reshape(B, hs, ws, self.d_model)
+            x = jnp.repeat(jnp.repeat(x, p1, axis=1), p2, axis=2)
             return x.reshape(B, -1, self.d_model)
 
-        src_attn = unpool_tokens(src_attn, H_s, W_s, p1, p2)
-        trg_attn = unpool_tokens(trg_attn, H_t, W_t, fh // H_t, fw // W_t)
+        src_attn = unpool_tokens(src_attn)
+        trg_attn = unpool_tokens(trg_attn)
 
         src_feat = src_feat + src_attn
         trg_feat = trg_feat + trg_attn
@@ -213,29 +241,33 @@ class UFCLayer(nn.Module):
         # (aggregation.py:343-344); batching the two calls halves the op
         # count of the heaviest section with identical numerics
         B = corr.shape[0]
-        corr2 = jnp.concatenate([corr, jnp.transpose(corr, (0, 1, 4, 5, 2, 3))], axis=0)
+        g = self._grid
+        corr2 = jnp.concatenate([corr, jnp.swapaxes(corr, 2, 3)], axis=0)
         feat2 = jnp.concatenate([src_feat, trg_feat], axis=0)
         corr_out, feat_out = self.forward_attention(corr2, feat2)
         corr_src, corr_trg = corr_out[:B], corr_out[B:]
         src_ref, trg_ref = feat_out[:B], feat_out[B:]
-        corr_r = corr_src + jnp.transpose(corr_trg, (0, 1, 4, 5, 2, 3))
-        corr_r = corr_r + self.feat_to_corr1(correlation_tokens(src_ref, trg_ref, self.feat_size))
-        corr_r = corr_r + self.mlp_refine_corr(corr_r)
+        corr_r = corr_src + jnp.swapaxes(corr_trg, 2, 3)
+        c_new, _, _ = self.feat_to_corr1(correlation_tokens_flat(src_ref, trg_ref), self.feat_size, self.feat_size)
+        corr_r = corr_r + c_new
+        mr, _, _ = self.mlp_refine_corr(corr_r, g, g)
+        corr_r = corr_r + mr
 
         src_ref, trg_ref = self.forward_cross(corr_r, src_ref, trg_ref)
 
         if refine_last_corr:
-            corr_r = corr_r + self.feat_to_corr2(correlation_tokens(src_ref, trg_ref, self.feat_size))
-            corr_r = corr_r + self.mlp_refine_corr2(corr_r)
+            c_new2, _, _ = self.feat_to_corr2(correlation_tokens_flat(src_ref, trg_ref), self.feat_size, self.feat_size)
+            corr_r = corr_r + c_new2
+            mr2, _, _ = self.mlp_refine_corr2(corr_r, g, g)
+            corr_r = corr_r + mr2
         return corr_r, src_ref, trg_ref
 
 
 class UFC(nn.Module):
     """Three-stage coarse-to-fine aggregation (models/aggregation.py:358-562).
 
-    Stage grid sizes are derived from the input pyramid (16/32/64 for a 256^2
-    image; scales with input resolution), so the module works unchanged at
-    the 128^2 parity config."""
+    Stage grid sizes derive from the input pyramid (16/32/64 for a 256^2
+    image); works unchanged at other resolutions."""
 
     nhead: int = 8
     feat_dim: Sequence[int] = (256, 256, 256)
@@ -250,8 +282,8 @@ class UFC(nn.Module):
         """feats: 3 NHWC maps (B*nview, H, W, C), coarse to fine (x2 each).
 
         Returns (feat_list [3 NHWC maps (B*nview, H, W, 256)],
-                 (flow, flow_flip, mapping_fwd, mapping_bwd), c).
-        """
+                 (flow, flow_flip, mapping_fwd, mapping_bwd),
+                 c (B, 1, fineHW, fineHW) flattened correlation)."""
         B2 = feats[0].shape[0]
         B = B2 // nview
         stage_hw = [f.shape[1] for f in feats]
@@ -281,6 +313,7 @@ class UFC(nn.Module):
             for s in range(3)
         ]
         proj_feat = [Dense(self.feat_dim[s], name=f"proj_feat_{s}") for s in range(3)]
+
         src_tok, trg_tok = [], []
         for i, f in enumerate(feats):
             h, w, c = f.shape[1:]
@@ -308,8 +341,8 @@ class UFC(nn.Module):
             # the per-stage correlation uses the RAW projected level features
             # (aggregation.py:532,542); the residual feature upsampling is
             # added separately (aggregation.py:535-536,545-546)
-            corr = correlation_tokens(src, trg, (hw, hw))
-            corr = embedding[s](corr)
+            corr = correlation_tokens_flat(src, trg)
+            corr, _, _ = embedding[s](corr, (hw, hw), (hw, hw))
             if corr_res is not None:
                 corr = corr_res + corr
             if s > 0:
@@ -321,21 +354,22 @@ class UFC(nn.Module):
             src_prev, trg_prev = src, trg
             stacked = jnp.stack([src, trg], axis=1).reshape(B2, hw, hw, self.feat_dim[s])
             feat_list.append(stacked)
-            correlations.append(correlation_tokens(src, trg, (hw, hw)))
-
-        from coponerf_tpu.ops.resize import interpolate4d
+            correlations.append((correlation_tokens_flat(src, trg), hw))
 
         fine = stage_hw[-1]
-        ups = [interpolate4d(x, (fine, fine, fine, fine)) for x in correlations]
+        ups = [
+            interpolate4d_flat(x, (hw, hw), (hw, hw), (fine, fine), (fine, fine))
+            for x, hw in correlations
+        ]
         c = sum(ups) / len(ups)
 
         b = c.shape[0]
         # mapping defined on the SOURCE grid, pointing into the target
-        gx_f, gy_f = soft_argmax(jnp.transpose(c, (0, 1, 4, 5, 2, 3)).reshape(b, fine * fine, fine, fine))
+        gx_f, gy_f = soft_argmax(jnp.swapaxes(c[:, 0], 1, 2).reshape(b, fine * fine, fine, fine))
         mapping_fwd = jnp.concatenate([gx_f, gy_f], axis=1)
         flow = unnormalise_and_convert_mapping_to_flow(mapping_fwd)
         # mapping defined on the TARGET grid, pointing into the source
-        gx_b, gy_b = soft_argmax(c.reshape(b, fine * fine, fine, fine))
+        gx_b, gy_b = soft_argmax(c[:, 0].reshape(b, fine * fine, fine, fine))
         mapping_bwd = jnp.concatenate([gx_b, gy_b], axis=1)
         flow_flip = unnormalise_and_convert_mapping_to_flow(mapping_bwd)
 

@@ -61,3 +61,30 @@ def restore_into(state, path: str):
     target = jax.device_get(state.params)
     params = jax.tree.map(lambda t, s: np.asarray(s, dtype=np.asarray(t).dtype), target, params)
     return state.replace(params=params, batch_stats=batch_stats, step=step)
+
+
+# ---------------------------------------------------------------------- #
+# Optional Orbax backend (async, sharding-aware) for large-scale runs;
+# the npz path above remains the dependency-light default.
+# ---------------------------------------------------------------------- #
+
+def save_orbax(ckpt_dir: str, state, step: int):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"orbax_{step:08d}"))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            path,
+            {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats),
+             "step": step},
+        )
+    return path
+
+
+def load_orbax(path: str):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.abspath(path))
+    return tree["params"], tree["batch_stats"], int(tree["step"])
