@@ -28,7 +28,7 @@ import time
 REF_RAYS_PER_SEC_PER_CHIP = 1.3e5  # estimate; see module docstring
 
 IMAGE = 256
-CHUNK = 8192
+CHUNK = 16384
 N_LO, N_HI = 1, 5  # images rendered per timing call
 
 

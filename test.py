@@ -30,6 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--chunk", type=int, default=4096)
     p.add_argument("--lpips_weights", type=str, default=None)
+    p.add_argument("--fast", action="store_true", default=False,
+                   help="throughput config: bf16 + MXU sampling (~1e-3 feature error)")
     return p
 
 
@@ -53,7 +55,11 @@ def main():
     dataset = Vis(opt.data_root, opt.pose_root, overlap=opt.overlap, n_skip=opt.n_skip,
                   num_ctxt_views=opt.views)
 
-    model = CoPoNeRF(ModelConfig(n_view=opt.views))
+    model = CoPoNeRF(ModelConfig(
+        n_view=opt.views,
+        fast_sampling=opt.fast,
+        compute_dtype="bfloat16" if opt.fast else "float32",
+    ))
 
     if opt.checkpoint_path and opt.checkpoint_path.endswith(".pth"):
         from coponerf_tpu.utils.torch_import import convert_state_dict, load_torch_checkpoint
