@@ -179,3 +179,15 @@ def train(
             batch = next(it)
     ckpt_lib.save(ckpt_dir, state, num_steps, name="model_final")
     return state
+
+
+def training(train_function, dataloader_callback, dataloader_iters, dataloader_params, cfg: Config, **kwargs):
+    """Meta-loop over dataloader configurations (reference wrapper.training,
+    wrapper.py:32-43): builds each dataloader config in turn and continues
+    training the same state for its step budget."""
+    state = kwargs.pop("state", None)
+    for params, max_steps in zip(dataloader_params, dataloader_iters):
+        loaders = dataloader_callback(*params)
+        train_iter = loaders[0] if isinstance(loaders, tuple) else loaders
+        state = train_function(cfg, train_iter, num_steps=max_steps, state=state, **kwargs)
+    return state
