@@ -72,7 +72,7 @@ def main():
     sys.argv = [
         "test.py", "--data_root", img_root, "--pose_root", pose_path,
         "--overlap", overlap_path, "--checkpoint_path", ckpt,
-        "--max_batches", "1", "--chunk", "8192",
+        "--max_batches", "1", "--chunk", "8192", "--fast",
     ]
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import test as test_entry
