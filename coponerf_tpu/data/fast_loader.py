@@ -10,7 +10,6 @@ native call writing into a preallocated buffer.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import Optional

@@ -14,7 +14,6 @@ torchvision VGG16 feature indices i in CONV_IDX; head kernels
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,7 @@ All feature maps are NHWC; sample tensors are (B*V, rays, samples, C).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import flax.struct
@@ -36,7 +36,6 @@ from coponerf_tpu.models.layers import Dense, MLPSeq, torch_bias_init, torch_ker
 from coponerf_tpu.models.lightfield import ResnetFC
 from coponerf_tpu.models.resnet import ResNet34Encoder
 from coponerf_tpu.models.ufc import UFC
-from coponerf_tpu.ops.grid_sample import grid_sample
 
 IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
 IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])

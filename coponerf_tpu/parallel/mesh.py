@@ -14,7 +14,7 @@ requested — the honest sequence-parallel analogue for this workload
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import numpy as np

@@ -7,7 +7,7 @@ coponerf_tpu/utils/torch_import.py for the key mapping)."""
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -9,7 +9,6 @@ distance + translation L2 (:132-134).  Weights w1=0.01, w2=1.0, w3=1.0.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, Tuple
 
 import jax

@@ -4,7 +4,7 @@ bare-except swallow)."""
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Optional
+from typing import Callable, Iterable
 
 import jax
 import jax.numpy as jnp
