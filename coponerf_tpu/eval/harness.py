@@ -78,7 +78,11 @@ def evaluate(
     lpips_weights: Optional[str] = None,
     image_size: int = 256,
     verbose: bool = True,
+    logger=None,
 ) -> M.MetricAccumulator:
+    """logger: optional training.trainer.MetricLogger — when given, per-batch
+    image panels and pose scalars are written as in the reference
+    (test.py:270 img_summaries)."""
     from coponerf_tpu.data.scene_dataset import collate
 
     encode, render_image = make_renderer(model, chunk)
@@ -127,6 +131,19 @@ def evaluate(
             if lp is not None:
                 vals["lpips"] = lp
             acc.add(M.overlap_bin(float(np.ravel(overlaps)[e])), **vals)
+        if logger is not None:
+            from coponerf_tpu.training.summaries import img_summaries
+
+            out = {
+                "rgb": np.asarray(rgb) * 2 - 1,
+                "depth_ray": np.asarray(depth),
+                "rel_pose": rel_pose,
+                "gt_rel_pose": gt_rel,
+                "at_wt": np.full((batch_size * 2, 1, 64), 1.0 / 64),
+                "flow": [np.asarray(f) for f in state.flows],
+            }
+            img_summaries(logger, batch_np, gt, out, bi, prefix="val_",
+                          img_shape=(image_size, image_size))
         if verbose:
             print(f"{bi + 1}/{len(batches)} done.")
             print(acc.format())

@@ -74,9 +74,14 @@ def main():
     variables = {"params": params, "batch_stats": batch_stats}
     variables = {k: jnp_tree(v) for k, v in variables.items()}
 
+    import os
+
+    from coponerf_tpu.training.trainer import MetricLogger
+
+    logger = MetricLogger(os.path.join(opt.logging_root, opt.experiment_name, "summaries"))
     acc = evaluate(
         model, variables, dataset, batch_size=opt.batch_size, chunk=opt.chunk,
-        max_batches=opt.max_batches, lpips_weights=opt.lpips_weights,
+        max_batches=opt.max_batches, lpips_weights=opt.lpips_weights, logger=logger,
     )
     print(acc.format())
 
