@@ -13,19 +13,20 @@ are differenced to cancel the fixed dispatch overhead.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline: the reference publishes no throughput numbers (BASELINE.md); the
-denominator is an engineering estimate of the reference's per-GPU render rate
-on its 4xA6000 setup (test.py renders 2x65,536 rays in 18 chunks; a chunk
-forward at ~45-60ms on an A6000-class part => ~1.3e5 rays/s/GPU).  Recorded
-as REF_RAYS_PER_SEC_PER_CHIP so the ratio is auditable and can be re-anchored
-when a measured number exists.
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md), so
+the denominator is DERIVED, not guessed: the render path costs 668.9 MF/ray
+(auditable ledger: scripts/flops_ledger.py), the reference runs pure fp32
+(no autocast/TF32-matmul in the repo), and an A6000 peaks at 38.7 TFLOP/s
+fp32 => speed-of-light 57.9k rays/s/GPU; granting the reference a generous
+50% MFU gives 2.9e4 rays/s/GPU.  Full derivation: BASELINE.md.  (Round 1's
+1.3e5 guess exceeded the A6000 fp32 speed-of-light 2.2x and was impossible.)
 """
 
 import json
 import sys
 import time
 
-REF_RAYS_PER_SEC_PER_CHIP = 1.3e5  # estimate; see module docstring
+REF_RAYS_PER_SEC_PER_CHIP = 2.9e4  # A6000 roofline @ 50% MFU; see BASELINE.md
 
 IMAGE = 256
 CHUNK = 16384

@@ -21,6 +21,9 @@ class ModelConfig:
     hidden_dim: int = 128           # attention key/query width
     repeat_attention: bool = True
     corr_heads: int = 8
+    # UFC layers per coarse-to-fine stage (aggregation.py:358: [2,2,1]);
+    # shrinkable for compile-time-bound smoke/dryrun configs
+    ufc_layer_nums: Tuple[int, ...] = (2, 2, 1)
     mask_upsample: int = 256        # cyclic-consistency mask resolution
     # compute dtype for the conv/matmul-heavy encoder+UFC path ("float32" or
     # "bfloat16"); geometry and the render attention stay float32.
@@ -59,6 +62,11 @@ class TrainConfig:
     epochs_til_ckpt: int = 100
     iters_til_ckpt: int = 10000
     seed: int = 0
+    # true dataloader steps per epoch (len(dataset)//batch_size).  The 0.95 LR
+    # decay steps once per EPOCH in the reference (wrapper.py:95-96); 0 means
+    # unknown and falls back to steps_til_summary (a faster decay — only
+    # acceptable for synthetic smoke runs).
+    steps_per_epoch: int = 0
     mesh_shape: Tuple[int, ...] = (-1,)   # 1-D data-parallel mesh by default
     mesh_axes: Tuple[str, ...] = ("data",)
 

@@ -29,7 +29,12 @@ def get_lib() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
+    src = _RUNTIME_DIR / "scenecache.cpp"
+    stale = (
+        not _LIB_PATH.exists()
+        or (src.exists() and src.stat().st_mtime > _LIB_PATH.stat().st_mtime)
+    )
+    if stale:
         _build_library()
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.scenecache_open.restype = ctypes.c_void_p

@@ -311,7 +311,11 @@ class VisSceneDataset(SceneDataset):
                 "cam2world": np.stack([p0, p2]),
                 "intrinsics": np.stack([K0, K2]),
             }
-            ov = float(np.ravel(self.overlap[orig_idx])[0]) if self.overlap is not None else 1.0
+            # bin by the overlap row of the scene ACTUALLY loaded (i), not the
+            # requested index: the skip-fallback may walk to a neighbor scene
+            # (reference get_another() returns the loaded scene's overlap,
+            # realestate10k_dataio.py:683)
+            ov = float(np.ravel(self.overlap[i])[0]) if self.overlap is not None else 1.0
             return {"context": context, "query": query}, query, np.float32(ov)
         raise RuntimeError(f"no loadable scene near index {orig_idx}")
 

@@ -29,41 +29,67 @@ def _chunk_query(batch, start, size):
     return {"context": batch["context"], "query": q}
 
 
-def make_renderer(model, chunk: int = 4096):
-    """Returns jitted (encode, render_image) callables."""
+# per-ray render outputs assembled across chunks: key -> ray axis.  These are
+# exactly what the reference re-concatenates after its chunk loop
+# (test.py:200-212, wrapper.py:188-219) — including the REAL attention
+# weights (at_wt) so logged entropy is honest, and the correspondence
+# points/masks so validation can compute the cycle loss at full parity.
+_RAY_AXIS = {
+    "rgb": 2,
+    "depth_ray": 1,
+    "at_wt": 1,
+    "T_to_C1_pts": 1,
+    "T_to_C2_pts": 1,
+    "C2_pts_to_C1": 1,
+    "mask_c2": 1,
+    "matchability_cycle_mask": 1,
+}
+
+
+def make_renderer(model, chunk: int = 4096, keys: tuple = ("rgb", "depth_ray", "at_wt")):
+    """Returns jitted (encode, render_image) callables.
+
+    render_image(variables, batch, state, n_rays) -> dict of per-ray outputs
+    assembled across chunks (``keys``, each a _RAY_AXIS entry)."""
 
     @jax.jit
     def encode(variables, batch):
         return model.apply(variables, batch, train=False, method="encode")
 
+    def _render_chunk(variables, batch, state, start, size):
+        out = model.apply(
+            variables, _chunk_query(batch, start, size), state, val=True, method="render"
+        )
+        return {k: out[k] for k in keys}
+
     @functools.partial(jax.jit, static_argnames=("n_rays",))
     def render_image(variables, batch, state, n_rays: int):
         n_chunks = n_rays // chunk
 
-        def body(i, acc):
-            out = model.apply(
-                variables, _chunk_query(batch, i * chunk, chunk), state, val=True,
-                method="render",
-            )
-            rgb = jax.lax.dynamic_update_slice_in_dim(acc[0], out["rgb"], i * chunk, axis=2)
-            depth = jax.lax.dynamic_update_slice_in_dim(acc[1], out["depth_ray"], i * chunk, axis=1)
-            return (rgb, depth)
+        def alloc(k, v):
+            shape = list(v.shape)
+            shape[_RAY_AXIS[k]] = n_rays
+            return jnp.zeros(shape, v.dtype)
 
-        B = batch["query"]["uv"].shape[0]
-        acc = (
-            jnp.zeros((B, 1, n_rays, 3), jnp.float32),
-            jnp.zeros((B, n_rays, 1), jnp.float32),
-        )
-        rgb, depth = jax.lax.fori_loop(0, n_chunks, body, acc)
+        def insert(acc, out, start):
+            return {
+                k: jax.lax.dynamic_update_slice_in_dim(acc[k], out[k], start, axis=_RAY_AXIS[k])
+                for k in keys
+            }
+
+        first = _render_chunk(variables, batch, state, 0, chunk)
+        acc = insert({k: alloc(k, v) for k, v in first.items()}, first, 0)
+
+        def body(i, acc):
+            out = _render_chunk(variables, batch, state, i * chunk, chunk)
+            return insert(acc, out, i * chunk)
+
+        acc = jax.lax.fori_loop(1, n_chunks, body, acc)
         rem = n_rays - n_chunks * chunk
         if rem:
-            out = model.apply(
-                variables, _chunk_query(batch, n_chunks * chunk, rem), state, val=True,
-                method="render",
-            )
-            rgb = jax.lax.dynamic_update_slice_in_dim(rgb, out["rgb"], n_chunks * chunk, axis=2)
-            depth = jax.lax.dynamic_update_slice_in_dim(depth, out["depth_ray"], n_chunks * chunk, axis=1)
-        return rgb, depth
+            out = _render_chunk(variables, batch, state, n_chunks * chunk, rem)
+            acc = insert(acc, out, n_chunks * chunk)
+        return acc
 
     return encode, render_image
 
@@ -102,7 +128,8 @@ def evaluate(
 
         t0 = time.time()
         state = encode(variables, batch)
-        rgb, depth = render_image(variables, batch, state, n_rays)
+        rendered = render_image(variables, batch, state, n_rays)
+        rgb, depth = rendered["rgb"], rendered["depth_ray"]
         rgb = jax.block_until_ready(rgb)
         dt = time.time() - t0
 
@@ -139,7 +166,7 @@ def evaluate(
                 "depth_ray": np.asarray(depth),
                 "rel_pose": rel_pose,
                 "gt_rel_pose": gt_rel,
-                "at_wt": np.full((batch_size * 2, 1, 64), 1.0 / 64),
+                "at_wt": np.asarray(rendered["at_wt"]),  # real attention weights
                 "flow": [np.asarray(f) for f in state.flows],
             }
             img_summaries(logger, batch_np, gt, out, bi, prefix="val_",

@@ -6,10 +6,12 @@ structural_similarity, win 11, gaussian weights, data_range=1), :34-48 +
 :271-302 (overlap-binned running statistics).
 
 skimage is not available in this image; ``ssim`` reimplements
-structural_similarity(gaussian_weights=True, win_size=11, sigma=1.5,
-use_sample_covariance=False) with scipy.ndimage and is validated against
-published behaviour in tests (identical images -> 1, constant shift -> known
-closed form).
+structural_similarity(gaussian_weights=True, win_size=11, sigma=1.5) with
+scipy.ndimage — including skimage's default use_sample_covariance=True
+(variances scaled by N/(N-1) with N=win_size**2), which the reference's
+call (test.py:267-269) leaves enabled — and is validated against published
+behaviour in tests (identical images -> 1, constant shift -> known closed
+form).
 
 LPIPS requires pretrained VGG weights (external-weight dependency; the image
 has no torchvision/lpips and no network).  ``lpips_vgg`` computes the LPIPS

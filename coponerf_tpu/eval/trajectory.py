@@ -6,6 +6,7 @@ with encode amortized once — the interactive serving path.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -13,6 +14,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from coponerf_tpu.eval.harness import make_renderer
+
+
+def make_path_renderer(model, chunk: int = 4096):
+    """One-dispatch trajectory rendering: a single jitted lax.map over all
+    path poses (each frame chunk-rendered inside).  On the tunneled backend a
+    per-frame dispatch costs ~30 ms — for a 30-frame path that is ~1 s of
+    pure overhead this removes."""
+    _, render_image = make_renderer(model, chunk)
+
+    @functools.partial(jax.jit, static_argnames=("n_rays",))
+    def render_path(variables, batch, state, poses, n_rays: int):
+        def frame(pose):
+            q = dict(batch["query"])
+            q["cam2world"] = pose[None, None]
+            out = render_image(variables, {"context": batch["context"], "query": q}, state, n_rays)
+            return out["rgb"]
+
+        return jax.lax.map(frame, poses)  # (n_frames, B, 1, n_rays, 3)
+
+    return render_path
 
 
 def make_circle(n: int, radius: float = 0.1) -> np.ndarray:
@@ -51,7 +72,8 @@ def render_scene_path(
     """Render every query pose of a CameraPathDataset item (the reference's
     get_camera_pose protocol: contexts at the sequence ends, one render per
     intermediate frame pose), reusing one encode."""
-    encode, render_image = make_renderer(model, chunk)
+    encode, _ = make_renderer(model, chunk)
+    render_path = make_path_renderer(model, chunk)
     ctx = jax.tree.map(lambda x: jnp.asarray(x)[None], path_item["context"])
     n_rays = image_size * image_size
     uv = jnp.asarray(path_item["query_path"]["uv"])[None, None]
@@ -59,21 +81,15 @@ def render_scene_path(
     intr = path_item["query_path"]["intrinsics"]
     if max_frames:
         poses, intr = poses[:max_frames], intr[:max_frames]
-    state = encode(variables, {"context": ctx, "query": {
-        "uv": uv, "rgb": jnp.zeros((1, 1, n_rays, 3)),
+    # intrinsics: one camera per scene in RealEstate10K, so the first frame's
+    # K serves the whole path (lets all frames share one compiled render)
+    batch = {"context": ctx, "query": {
+        "uv": uv, "rgb": jnp.zeros((1, 1, n_rays, 3), jnp.float32),
         "cam2world": jnp.asarray(poses[0])[None, None],
-        "intrinsics": jnp.asarray(intr[0])[None, None]}})
-    frames = []
-    for i in range(len(poses)):
-        q = {
-            "uv": uv,
-            "rgb": jnp.zeros((1, 1, n_rays, 3), jnp.float32),
-            "cam2world": jnp.asarray(poses[i])[None, None],
-            "intrinsics": jnp.asarray(intr[i])[None, None],
-        }
-        rgb, _ = render_image(variables, {"context": ctx, "query": q}, state, n_rays)
-        frames.append(np.asarray(rgb).reshape(image_size, image_size, 3))
-    return np.stack(frames)
+        "intrinsics": jnp.asarray(intr[0])[None, None]}}
+    state = encode(variables, batch)
+    rgb = render_path(variables, batch, state, jnp.asarray(poses), n_rays)
+    return np.asarray(rgb).reshape(len(poses), image_size, image_size, 3)
 
 
 def render_trajectory(
@@ -91,7 +107,8 @@ def render_trajectory(
     batch: a (B=1) stereo-pair batch dict.  Returns (n_frames, H, W, 3) in
     [-1, 1].
     """
-    encode, render_image = make_renderer(model, chunk)
+    encode, _ = make_renderer(model, chunk)
+    render_path = make_path_renderer(model, chunk)
     state = encode(variables, batch)
 
     c2w = np.asarray(batch["context"]["cam2world"])[0]
@@ -104,16 +121,15 @@ def render_trajectory(
     g = np.stack(np.meshgrid(np.arange(dim), np.arange(dim)), -1).reshape(-1, 2)
     uv = jnp.asarray(g.astype(np.float32))[None, None]
 
-    frames = []
     n_rays = dim * dim
-    for i in range(n_frames):
-        q = {
+    fb = {
+        "context": batch["context"],
+        "query": {
             "uv": uv,
             "rgb": jnp.zeros((1, 1, n_rays, 3), jnp.float32),
-            "cam2world": jnp.asarray(path[i])[None, None],
+            "cam2world": jnp.asarray(path[0])[None, None],
             "intrinsics": batch["query"]["intrinsics"],
-        }
-        fb = {"context": batch["context"], "query": q}
-        rgb, _ = render_image(variables, fb, state, n_rays)
-        frames.append(np.asarray(rgb).reshape(dim, dim, 3))
-    return np.stack(frames)
+        },
+    }
+    rgb = render_path(variables, fb, state, jnp.asarray(path), n_rays)
+    return np.asarray(rgb).reshape(n_frames, dim, dim, 3)

@@ -32,7 +32,13 @@ from coponerf_tpu import flow as flow_ops
 from coponerf_tpu import geometry as G
 from coponerf_tpu.config import ModelConfig
 from coponerf_tpu.models.cross_block import CrossBlock
-from coponerf_tpu.models.layers import Dense, MLPSeq, torch_bias_init, torch_kernel_init
+from coponerf_tpu.models.layers import (
+    Dense,
+    MLPSeq,
+    SplitDense,
+    torch_bias_init,
+    torch_kernel_init,
+)
 from coponerf_tpu.models.lightfield import ResnetFC
 from coponerf_tpu.models.resnet import ResNet34Encoder
 from coponerf_tpu.models.ufc import UFC
@@ -63,7 +69,10 @@ class CoPoNeRF(nn.Module):
         c = self.cfg
         self.encoder = ResNet34Encoder(name="encoder")
         self.feature_cost_aggregation = UFC(
-            nhead=c.corr_heads, remat=c.remat_ufc, name="feature_cost_aggregation"
+            nhead=c.corr_heads,
+            remat=c.remat_ufc,
+            layer_nums=tuple(c.ufc_layer_nums),
+            name="feature_cost_aggregation",
         )
         self.cross_attention = CrossBlock(name="cross_attention")
         self.pose_regressor = MLPSeq((512, 256, 256), act_last=True, name="pose_regressor")
@@ -78,14 +87,22 @@ class CoPoNeRF(nn.Module):
         half = latent // 2               # 416
         hid = c.hidden_dim               # 128
         cd = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
-        self.query_encode_latent = Dense(latent, dtype=cd, name="query_encode_latent")
+        # render-path Denses consume pre-split inputs (SplitDense = kernel
+        # row-slices + partial sums): the multi-GB concats of per-level sample
+        # tensors the reference materializes (CoPoNeRF.py:312,384-408) never
+        # hit HBM.  Param trees are identical to plain Dense.
+        ufc_ch = (latent - 64) // 3      # 256: per-level UFC feature width
+        self.query_encode_latent = SplitDense(
+            latent, splits=(ufc_ch, ufc_ch, ufc_ch, 64, 3), dtype=cd,
+            name="query_encode_latent",
+        )
         self.query_encode_latent_2 = Dense(half, dtype=cd, name="query_encode_latent_2")
-        self.latent_value = Dense(half, dtype=cd, name="latent_value")
-        self.key_map = Dense(hid, dtype=cd, name="key_map")
+        self.latent_value = SplitDense(half, splits=(half, half), dtype=cd, name="latent_value")
+        self.key_map = SplitDense(hid, splits=(half, half), dtype=cd, name="key_map")
         self.key_map_2 = Dense(hid, dtype=cd, name="key_map_2")
         self.query_embed = Dense(hid, name="query_embed")
         self.query_embed_2 = Dense(hid, name="query_embed_2")
-        self.query_repeat_embed = Dense(hid, name="query_repeat_embed")
+        self.query_repeat_embed = SplitDense(hid, splits=(hid, 16), name="query_repeat_embed")
         self.query_repeat_embed_2 = Dense(hid, name="query_repeat_embed_2")
         self.encode_latent = Dense(hid, name="encode_latent")
         self.phi = ResnetFC(
@@ -231,10 +248,10 @@ class CoPoNeRF(nn.Module):
             def sample(z, p, mode):
                 return grid_sample_tablegrad(z, p, mode)
 
-        # primary features: all 4 latents sampled along the segments (border pad)
-        interp_val = jnp.concatenate(
-            [sample(z, pixel_val, "border") for z in state.z], axis=-1
-        )                                                                  # (B*V, N, S, 832)
+        # primary features: all 4 latents sampled along the segments (border
+        # pad), kept per level — SplitDense consumes them without the 832-wide
+        # concat the reference materializes
+        samples_p = [sample(z, pixel_val, "border") for z in state.z]
 
         # 3D point on the query ray nearest to each epipolar sample
         ctx_flat_c2w = context_cam2world.reshape(B * V, 4, 4)
@@ -273,9 +290,7 @@ class CoPoNeRF(nn.Module):
 
         # secondary (cross-view reprojected) features, zeros padding
         px_stack = jnp.stack([px_v1_c2, px_v2_c1], axis=1).reshape(B * V, n_rays, S, 2)
-        interp_nearest = jnp.concatenate(
-            [sample(z, px_stack, "zeros") for z in state.z], axis=-1
-        ).reshape(B, V, n_rays, S, -1)
+        samples_s = [sample(z, px_stack, "zeros") for z in state.z]
 
         scrub = lambda x: jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
         pt_v1_c1 = jax.lax.stop_gradient(scrub(pt_v1_c1))
@@ -283,25 +298,28 @@ class CoPoNeRF(nn.Module):
         pt_v1_c2 = scrub(pt_v1_c2)
         pt_v2_c1 = scrub(pt_v2_c1)
 
-        iv = interp_val.reshape(B, V, n_rays, S, -1)
+        def per_view(samples, v):
+            # leading-axis reshape + slice: fused into the consuming matmul
+            return [s.reshape(B, V, n_rays, S, -1)[:, v] for s in samples]
 
-        def enc(feat, pts):
-            t = jnp.tanh(pts / 5.0).astype(feat.dtype)  # keep the concat in the sampling dtype
-            x = jnp.concatenate([feat, t], axis=-1)
-            return self.query_encode_latent_2(nn.relu(self.query_encode_latent(x)))
+        def enc(parts, pts):
+            t = jnp.tanh(pts / 5.0)
+            pre = self.query_encode_latent(list(parts) + [t])
+            return self.query_encode_latent_2(nn.relu(pre))
 
-        # one batched call over the 4 (feature-set, point-set) combinations
-        feats4 = jnp.concatenate(
-            [iv[:, 0], interp_nearest[:, 1], iv[:, 1], interp_nearest[:, 0]], axis=0
-        )
-        pts4 = jnp.concatenate([pt_v1_c1, pt_v2_c1, pt_v2_c2, pt_v1_c2], axis=0)
-        enc4 = enc(feats4, pts4).reshape(4, B, n_rays, S, -1)
-        iv1 = jnp.concatenate([enc4[0], enc4[1]], axis=-1)
-        iv2 = jnp.concatenate([enc4[2], enc4[3]], axis=-1)
-        interp_val = jnp.stack([iv1, iv2], axis=1).reshape(B * V, n_rays, S, -1)
-
-        joint_latent = self.latent_value(interp_val)                       # (B*V, N, S, 416)
-        key_val = self.key_map_2(nn.relu(self.key_map(interp_val)))        # (B*V, N, S, 128)
+        # the reference's 4 encode calls (CoPoNeRF.py:384-408) as split-matmul
+        # chains: (view's samples, 3D-point set) per combination
+        e0 = enc(per_view(samples_p, 0), pt_v1_c1)  # primary view 1
+        e1 = enc(per_view(samples_s, 1), pt_v2_c1)  # secondary view 2 -> 1
+        e2 = enc(per_view(samples_p, 1), pt_v2_c2)  # primary view 2
+        e3 = enc(per_view(samples_s, 0), pt_v1_c2)  # secondary view 1 -> 2
+        # per-view 416-dim value/key chains; the 832-wide [e_a || e_b] concat
+        # is a kernel split instead
+        jl = (self.latent_value([e0, e1]), self.latent_value([e2, e3]))    # (B, N, S, 416) x2
+        kv = (
+            self.key_map_2(nn.relu(self.key_map([e0, e1]))),
+            self.key_map_2(nn.relu(self.key_map([e2, e3]))),
+        )                                                                  # (B, N, S, 128) x2
 
         cam_rays = G.get_ray_directions_cam(pixel_val, ctx_flat_intr, H, W)
         ray_dir_s = jnp.broadcast_to(ray_dir[:, :, None, :], cam_rays.shape)
@@ -321,38 +339,62 @@ class CoPoNeRF(nn.Module):
             [cam_rays, cam_origin_zeros, ray_dir_s, depth_encode, query_ray_orig_ex], axis=-1
         )                                                                  # 16 channels
         coords_embed = self.query_embed_2(nn.relu(self.query_embed(local_coords)))
+        ce = coords_embed.reshape(B, V, n_rays, S, -1)
 
-        def joint_softmax(dot):
-            """(B*V, N, S) logits -> softmax over both views' samples jointly."""
-            d = dot.reshape(B, V, n_rays, S).transpose(0, 2, 1, 3).reshape(B, n_rays, V * S)
+        def joint_softmax_bv(dots):
+            """(B, V, N, S) logits -> softmax jointly over both views' samples,
+            returned in the same (B, V, N, S) layout."""
+            d = dots.transpose(0, 2, 1, 3).reshape(B, n_rays, V * S)
             w = jax.nn.softmax(d, axis=-1)
-            return w.reshape(B, n_rays, V, S).transpose(0, 2, 1, 3).reshape(B * V, n_rays, S)
+            return w.reshape(B, n_rays, V, S).transpose(0, 2, 1, 3)
 
-        dot1 = jnp.sum(key_val * coords_embed, axis=-1) / 11.31
-        at_wt = joint_softmax(dot1)                                        # round-1 weights
+        dot1 = jnp.stack(
+            [jnp.sum(kv[v].astype(jnp.float32) * ce[:, v], axis=-1) for v in range(V)], axis=1
+        ) / 11.31
+        at_wt_bv = joint_softmax_bv(dot1)                                  # (B, V, N, S)
+        at_wt = at_wt_bv.reshape(B * V, n_rays, S)                         # round-1 weights
 
-        def view_sum_broadcast(z_local):
-            zv = z_local.reshape(B, V, n_rays, -1)
-            zs = zv.sum(axis=1, keepdims=True)
-            return jnp.broadcast_to(zs, zv.shape).reshape(B * V, n_rays, -1)
-
-        z_local = jnp.sum(joint_latent * at_wt[..., None], axis=-2)        # (B*V, N, 416)
-        z_local = view_sum_broadcast(z_local)
+        # view-summed attended latent (the reference broadcasts this back to
+        # both view slots, CoPoNeRF.py:455-461; both slots hold the same sum)
+        z_sum = sum(
+            jnp.sum(jl[v].astype(jnp.float32) * at_wt_bv[:, v][..., None], axis=-2)
+            for v in range(V)
+        )                                                                  # (B, N, 416)
 
         if cfg.repeat_attention:
-            z_embed = self.encode_latent(z_local)                          # (B*V, N, 128)
-            z_embed_local = jnp.broadcast_to(
-                z_embed[:, :, None, :], (B * V, n_rays, S, z_embed.shape[-1])
+            z_embed = self.encode_latent(z_sum)                            # (B, N, 128)
+            ze = jnp.broadcast_to(
+                z_embed[:, :, None, :], (B, n_rays, S, z_embed.shape[-1])
             )
-            q_local = jnp.concatenate([z_embed_local, local_coords], axis=-1)
-            q_local = self.query_repeat_embed_2(nn.relu(self.query_repeat_embed(q_local)))
-            dot2 = jnp.sum(q_local * coords_embed, axis=-1) / 11.31
-            at_wt2 = joint_softmax(dot2)
-            z_local = jnp.sum(joint_latent * at_wt2[..., None], axis=-2) + z_local
-            z_local = view_sum_broadcast(z_local)
+            lc = local_coords.reshape(B, V, n_rays, S, -1)
+            dot2 = jnp.stack(
+                [
+                    jnp.sum(
+                        self.query_repeat_embed_2(
+                            nn.relu(self.query_repeat_embed([ze, lc[:, v]]))
+                        )
+                        * ce[:, v],
+                        axis=-1,
+                    )
+                    for v in range(V)
+                ],
+                axis=1,
+            ) / 11.31
+            at_wt2_bv = joint_softmax_bv(dot2)
+            # per-view partial2 + the (already view-summed) z_sum per slot,
+            # then view-summed again: sum_v(partial2_v) + V * z_sum — exactly
+            # the reference's repeated view_sum semantics
+            z_sum = (
+                sum(
+                    jnp.sum(jl[v].astype(jnp.float32) * at_wt2_bv[:, v][..., None], axis=-2)
+                    for v in range(V)
+                )
+                + V * z_sum
+            )
 
-        # assemble the light-field decoder input
-        z_flat = z_local.reshape(B, V, n_rays, -1).transpose(0, 2, 1, 3).reshape(B, n_rays, -1)
+        # assemble the light-field decoder input: every view slot carries the
+        # same view-summed latent, so z_flat is V copies of z_sum
+        z_flat = jnp.concatenate([z_sum] * V, axis=-1)                     # (B, N, V*416)
         coords9 = jnp.concatenate([lf_coords, query_ray_orig_ex[:, :, 0, :]], axis=-1)
         coords18 = coords9.reshape(B, V, n_rays, 9).transpose(0, 2, 1, 3).reshape(B, n_rays, -1)
         rgb = self.phi(jnp.concatenate([z_flat, coords18], axis=-1))

@@ -52,6 +52,49 @@ class Dense(nn.Module):
         )(x)
 
 
+class _SplitDenseCore(nn.Module):
+    """Dense whose input arrives pre-split along the feature axis: applies
+    kernel row-slices per chunk and sums the partial products.  Math-identical
+    to Dense(concat(parts)) up to f32 reassociation, but the multi-GB concat
+    of render-path sample tensors never materializes in HBM."""
+
+    features: int
+    splits: Sequence[int]
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, parts):
+        fan_in = sum(self.splits)
+        assert len(parts) == len(self.splits), (len(parts), self.splits)
+        kernel = self.param("kernel", torch_kernel_init, (fan_in, self.features))
+        bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
+        kd = self.dtype or kernel.dtype
+        acc = None
+        off = 0
+        for p, c in zip(parts, self.splits):
+            assert p.shape[-1] == c, (p.shape, c)
+            w = jax.lax.slice_in_dim(kernel, off, off + c, axis=0).astype(kd)
+            part = jnp.dot(p.astype(kd), w, preferred_element_type=kd)
+            acc = part if acc is None else acc + part
+            off += c
+        return acc + bias.astype(kd)
+
+
+class SplitDense(nn.Module):
+    """Drop-in for Dense with the parameter tree unchanged
+    (<name>/Dense_0/{kernel,bias}) but a list-of-chunks input."""
+
+    features: int
+    splits: Sequence[int]
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, parts):
+        return _SplitDenseCore(
+            self.features, tuple(self.splits), self.dtype, name="Dense_0"
+        )(parts)
+
+
 class MLPSeq(nn.Module):
     """A stack of Dense layers with an activation in between (and optionally
     before/after), mirroring the reference's nn.Sequential regressors."""

@@ -81,6 +81,73 @@ def _grid(images: np.ndarray) -> np.ndarray:
     return np.concatenate(list(images), axis=1)
 
 
+def _overlay_mask(img_u8: np.ndarray, invalid: np.ndarray, color=(255, 102, 51), alpha=0.5) -> np.ndarray:
+    """Blend ``color`` over pixels where ``invalid`` (H, W bool) holds, with a
+    contour outline — the reference's overlay_semantic_mask rendering
+    (summary/summaries.py:42-72) for the cyclic-consistency overlays."""
+    out = img_u8.copy()
+    c = np.array(color, np.float32)
+    sel = invalid.astype(bool)
+    out[sel] = (out[sel] * alpha + c * (1 - alpha)).astype(np.uint8)
+    if cv2 is not None:
+        contours = cv2.findContours(invalid.astype(np.uint8), cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE)[-2:]
+        cv2.drawContours(out, contours[0], -1, tuple(int(x) for x in color), 1)
+    return out
+
+
+def warped_context_panels(ctx_rgb: np.ndarray, flow_fwd: np.ndarray, flow_bwd: np.ndarray):
+    """Flow-warped context panels with cyclic-consistency mask overlays
+    (reference summary/summaries.py:163-207).
+
+    ctx_rgb: (B, 2, H, W, 3) in [-1, 1]; flows: (B, 2, h, w) NCHW pixels.
+    Returns dict of 4 panels, each (B, 3H, W, 3) float in [0, 1]:
+      warped_img        = [ctx2 ; warp(ctx2, up_fwd) ; ctx1] stacked on H
+      masked_warped_img = warped row with invalid-mask overlay
+      (+ the _flip pair for the reverse direction).
+    Flow products are computed with the SAME jnp ops as the loss
+    (coponerf_tpu.flow), jitted on the host CPU device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from coponerf_tpu import flow as flow_ops
+
+    B, _, H, W, _ = ctx_rgb.shape
+
+    def _products(f_fwd, f_bwd, rgb):
+        up_f, up_b, mask_f, mask_b = flow_ops.cyclic_consistency_masks(
+            f_fwd, f_bwd, out_size=H, threshold=10.0, scale=H / f_fwd.shape[-2]
+        )
+        im1 = jnp.transpose(rgb[:, 0], (0, 3, 1, 2))  # ctx1 NCHW
+        im2 = jnp.transpose(rgb[:, 1], (0, 3, 1, 2))
+        w_f = flow_ops.warp((im2 + 1.0) * 0.5, up_f)   # ctx2 warped toward ctx1
+        w_b = flow_ops.warp((im1 + 1.0) * 0.5, up_b)
+        return (jnp.transpose(w_f, (0, 2, 3, 1)), jnp.transpose(w_b, (0, 2, 3, 1)),
+                mask_f, mask_b)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        w_f, w_b, mask_f, mask_b = jax.jit(_products)(
+            jnp.asarray(flow_fwd), jnp.asarray(flow_bwd), jnp.asarray(ctx_rgb)
+        )
+    w_f, w_b = np.asarray(w_f), np.asarray(w_b)
+    mask_f, mask_b = np.asarray(mask_f), np.asarray(mask_b)
+    ctx01 = (np.clip(ctx_rgb, -1, 1) + 1) * 0.5
+
+    panels = {"warped_img": [], "masked_warped_img": [],
+              "warped_img_flip": [], "masked_warped_img_flip": []}
+    for i in range(B):
+        over_f = _overlay_mask((np.clip(w_f[i], 0, 1) * 255).astype(np.uint8), ~mask_f[i])
+        over_b = _overlay_mask((np.clip(w_b[i], 0, 1) * 255).astype(np.uint8), ~mask_b[i])
+        panels["warped_img"].append(np.concatenate([ctx01[i, 1], w_f[i], ctx01[i, 0]], axis=0))
+        panels["masked_warped_img"].append(
+            np.concatenate([ctx01[i, 1], over_f / 255.0, ctx01[i, 0]], axis=0))
+        panels["warped_img_flip"].append(np.concatenate([ctx01[i, 0], w_b[i], ctx01[i, 1]], axis=0))
+        panels["masked_warped_img_flip"].append(
+            np.concatenate([ctx01[i, 0], over_b / 255.0, ctx01[i, 1]], axis=0))
+    return {k: np.clip(np.stack(v), 0.0, 1.0) for k, v in panels.items()}
+
+
 def img_summaries(
     logger,
     model_input: Dict,
@@ -108,6 +175,17 @@ def img_summaries(
     logger.log_image(step, prefix + "context_images", _grid(ctx.reshape(-1, *ctx.shape[2:])))
     qry = np.asarray(gt["rgb"]).reshape(-1, h, w, 3)
     logger.log_image(step, prefix + "query_images", _grid(qry))
+
+    # flow-warped context panels with cyclic-consistency overlays
+    # (reference summary/summaries.py:163-207)
+    if "flow" in model_output:
+        try:
+            flows = model_output["flow"]
+            wp = warped_context_panels(ctx, np.asarray(flows[0]), np.asarray(flows[1]))
+            for k, v in wp.items():
+                logger.log_image(step, prefix + k, np.concatenate(list(v), axis=1))
+        except Exception:
+            pass  # panels are best-effort observability, never fail training
 
     rel_pose = np.asarray(model_output["rel_pose"])
     gt_rel = np.asarray(model_output["gt_rel_pose"])

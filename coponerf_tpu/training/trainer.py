@@ -59,7 +59,11 @@ def create_train_state(cfg: Config, batch, rng) -> TrainState:
     # jit the init: one compile instead of thousands of tunneled op dispatches
     init_fn = jax.jit(lambda r, b: model.init(r, b, val=False, train=True))
     variables = init_fn(rng, batch)
-    tx = make_optimizer(cfg, steps_per_epoch=cfg.train.steps_til_summary)
+    # per-EPOCH 0.95 decay (reference wrapper.py:95-96): use the real dataset
+    # length when known; steps_til_summary is only a synthetic-run fallback
+    tx = make_optimizer(
+        cfg, steps_per_epoch=cfg.train.steps_per_epoch or cfg.train.steps_til_summary
+    )
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

@@ -23,7 +23,13 @@ def make_val_fn(cfg: Config, val_batches: Iterable, chunk: int = 512, image_size
     val_batches: iterable of (model_input, gt) numpy batch dicts with FULL
     query images (uv covers the image)."""
     model = CoPoNeRF(cfg.model)
-    encode, render_image = make_renderer(model, chunk)
+    # assemble EVERY per-ray output the enabled losses and summaries need:
+    # real at_wt (honest entropy) plus the correspondence points/masks so the
+    # val loss dict carries the same terms as training (wrapper.py:160-254)
+    keys = ("rgb", "depth_ray", "at_wt")
+    if cfg.loss.cycle:
+        keys += ("T_to_C1_pts", "C2_pts_to_C1", "mask_c2", "matchability_cycle_mask")
+    encode, render_image = make_renderer(model, chunk, keys=keys)
     batches = list(val_batches)
 
     def val_fn(train_state, step, logger):
@@ -38,22 +44,17 @@ def make_val_fn(cfg: Config, val_batches: Iterable, chunk: int = 512, image_size
             batch = jax.tree.map(jnp.asarray, batch_np)
             n_rays = batch["query"]["uv"].shape[2]
             scene = encode(variables, batch)
-            rgb, depth = render_image(variables, batch, scene, n_rays)
-            out = {
-                "rgb": rgb,
-                "depth_ray": depth,
-                "flow": scene.flows,
-                "rel_pose": scene.rel_pose,
-                "gt_rel_pose": jnp.linalg.inv(batch["context"]["cam2world"][:, 0])
+            out = dict(render_image(variables, batch, scene, n_rays))
+            out.update(
+                flow=scene.flows,
+                rel_pose=scene.rel_pose,
+                gt_rel_pose=jnp.linalg.inv(batch["context"]["cam2world"][:, 0])
                 @ batch["context"]["cam2world"][:, 1],
-                "at_wt": jnp.ones((rgb.shape[0] * 2, 1, cfg.model.npoints)) / cfg.model.npoints,
-            }
-            # validation losses: image + pose (the chunked renderer returns
-            # rgb/depth; cycle/ssim terms are train-time quantities)
-            import dataclasses
-
-            val_cfg = dataclasses.replace(cfg.loss, cycle=False, ssim=False)
-            val_losses, _ = lf_loss(val_cfg, batch, out, gt)
+            )
+            # full val-loss parity: every enabled term is computed on the
+            # assembled outputs (ssim needs only the pair flows; cycle uses
+            # the assembled correspondence points)
+            val_losses, _ = lf_loss(cfg.loss, batch, out, gt)
             for k, v in val_losses.items():
                 losses_acc.setdefault(k, []).append(float(v))
             last = (batch_np, gt, out)

@@ -60,7 +60,8 @@ void* scenecache_open(const char* path) {
   int fd = ::open(path, O_RDONLY);
   if (fd < 0) return nullptr;
   struct stat st;
-  if (fstat(fd, &st) != 0) {
+  if (fstat(fd, &st) != 0 ||
+      static_cast<uint64_t>(st.st_size) < sizeof(Header)) {
     ::close(fd);
     return nullptr;
   }
@@ -74,7 +75,15 @@ void* scenecache_open(const char* path) {
   c->base = static_cast<const uint8_t*>(base);
   c->size = st.st_size;
   std::memcpy(&c->hdr, c->base, sizeof(Header));
-  if (c->hdr.magic != kMagic) {
+  // reject bad magic AND truncated/corrupt files: frame accessors index into
+  // the mmap assuming the full ts-table + frame payload is present, so a
+  // short file would SIGBUS instead of failing cleanly.
+  const uint64_t need =
+      sizeof(Header) + c->hdr.n * sizeof(int64_t) + c->hdr.n * c->hdr.h * c->hdr.w * 3;
+  if (c->hdr.magic != kMagic || c->hdr.n == 0 || c->hdr.h == 0 ||
+      c->hdr.w == 0 || c->hdr.n > (1ULL << 32) ||
+      c->hdr.h * c->hdr.w > (1ULL << 32) ||
+      static_cast<uint64_t>(st.st_size) < need) {
     munmap(base, st.st_size);
     ::close(fd);
     delete c;

@@ -68,7 +68,7 @@ def main():
     elif opt.checkpoint_path:
         from coponerf_tpu.training.checkpoint import load
 
-        params, batch_stats, _ = load(opt.checkpoint_path)
+        params, batch_stats, _, _ = load(opt.checkpoint_path)
     else:
         raise SystemExit("--checkpoint_path is required for evaluation")
     variables = {"params": params, "batch_stats": batch_stats}

@@ -74,6 +74,37 @@ def test_realestate_vis_triplet(fake_root):
     assert float(ov) == pytest.approx(0.9, abs=1e-5)
 
 
+def test_vis_overlap_follows_loaded_scene(tmp_path):
+    """Skip-fallback must bin by the overlap row of the scene ACTUALLY loaded
+    (reference get_another(), realestate10k_dataio.py:683): scene000 is too
+    short to use, so idx 0 falls through to scene001 and must report
+    overlap[1], not overlap[0]."""
+    img_root = tmp_path / "train"
+    img_root.mkdir()
+    rng = np.random.RandomState(0)
+    pose_tables = {}
+    for s, n_frames in enumerate([5, 160]):  # scene000 has <=20 frames -> skipped
+        name = f"scene{s:03d}"
+        sdir = img_root / name
+        sdir.mkdir()
+        frames, rows = {}, []
+        for i in range(n_frames):
+            ts = 1000 * i
+            frames[f"{ts}.png"] = rng.randint(0, 255, (64, 96, 3), np.uint8)
+            w2c = np.eye(4)
+            w2c[0, 3] = 0.01 * i
+            rows.append([ts, 0.9, 0.9, 0.5, 0.5, 0, 0, *w2c[:3].reshape(-1)])
+        np.savez(sdir / "data.npz", **frames)
+        pose_tables[name] = np.array(rows, np.float64)
+    pose_path = tmp_path / "train.mat"
+    savemat(pose_path, pose_tables)
+    overlap = tmp_path / "overlap.npy"
+    np.save(overlap, np.array([[0.2], [0.9]], np.float32))
+    ds = RealEstate10kVis(str(img_root), str(pose_path), overlap=str(overlap), n_skip=50)
+    _, _, ov = ds[0]
+    assert float(ov) == pytest.approx(0.9, abs=1e-5)  # scene001's row
+
+
 def test_acid_query_between_contexts(fake_root):
     img_root, pose_root, _ = fake_root
     ds = ACID(img_root, pose_root, query_sparsity=16, seed=1)

@@ -1,0 +1,117 @@
+"""Eval/validation observability: chunked render assembly (incl. REAL
+attention weights and correspondence outputs, test.py:200-212 parity),
+flow-warped context panels (summary/summaries.py:163-207 parity), and full
+val-loss term coverage (wrapper.py:160-254)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from coponerf_tpu.config import Config, ModelConfig, LossConfig, TrainConfig
+from coponerf_tpu.data.synthetic import make_batch
+from coponerf_tpu.models import CoPoNeRF
+from coponerf_tpu.utils.fast_init import fast_init
+
+IMG = 32
+N_RAYS = 16
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig(mask_upsample=IMG, npoints=8)
+    model = CoPoNeRF(cfg)
+    batch_np, gt = make_batch(batch_size=1, image_size=IMG, n_rays=N_RAYS, seed=0)
+    batch = jax.tree.map(jnp.asarray, batch_np)
+    variables = fast_init(model, batch, val=False, train=False)
+    return cfg, model, batch_np, gt, batch, variables
+
+
+def test_chunked_render_assembles_all_keys(setup):
+    """Chunk-assembled per-ray outputs must equal the single-shot val render,
+    key by key — this is what guarantees the logged at_wt/correspondence
+    values are real, not placeholders."""
+    from coponerf_tpu.eval.harness import _RAY_AXIS, make_renderer
+
+    cfg, model, _, _, batch, variables = setup
+    keys = tuple(_RAY_AXIS)
+    encode, render_image = make_renderer(model, chunk=8, keys=keys)
+    state = encode(variables, batch)
+    assembled = render_image(variables, batch, state, N_RAYS)
+
+    direct = model.apply(variables, batch, state, val=True, method="render")
+    for k in keys:
+        a, d = np.asarray(assembled[k]), np.asarray(direct[k])
+        assert a.shape == d.shape, k
+        # rtol covers XLA fusion-order noise on pixel-coordinate outputs
+        np.testing.assert_allclose(a, d, rtol=1e-5, atol=1e-5, err_msg=k)
+    # at_wt is a real distribution over samples (joint softmax over views)
+    w = np.asarray(assembled["at_wt"]).reshape(1, 2, N_RAYS, cfg.npoints)
+    np.testing.assert_allclose(w.sum(axis=(1, 3)), 1.0, atol=1e-5)
+    assert np.asarray(assembled["at_wt"]).std() > 0  # not uniform
+
+
+def test_warped_context_panels(setup):
+    from coponerf_tpu.training.summaries import warped_context_panels
+
+    _, _, batch_np, _, _, _ = setup
+    ctx = batch_np["context"]["rgb"]  # (1, 2, H, W, 3)
+    rng = np.random.RandomState(0)
+    flow_f = rng.randn(1, 2, IMG // 2, IMG // 2).astype(np.float32) * 2
+    flow_b = -flow_f
+    panels = warped_context_panels(ctx, flow_f, flow_b)
+    assert sorted(panels) == [
+        "masked_warped_img", "masked_warped_img_flip", "warped_img", "warped_img_flip",
+    ]
+    for k, v in panels.items():
+        assert v.shape == (1, 3 * IMG, IMG, 3), k  # [src ; warped ; tgt] stack
+        assert v.min() >= 0.0 and v.max() <= 1.0, k
+    # the top strip of warped_img is ctx2 verbatim
+    np.testing.assert_allclose(
+        panels["warped_img"][0, :IMG], (ctx[0, 1] + 1) * 0.5, atol=1e-6
+    )
+
+
+class _StubLogger:
+    def __init__(self):
+        self.scalars = {}
+        self.images = {}
+
+    def log(self, step, metrics):
+        self.scalars.update(metrics)
+
+    def log_image(self, step, tag, img):
+        self.images[tag] = np.asarray(img)
+
+
+def test_val_fn_full_loss_parity(setup):
+    """Validation must log every enabled loss term (img/pose/cycle/ssim) —
+    reference wrapper.py:160-254 computes the same dict at val."""
+    from coponerf_tpu.training.trainer import TrainState, make_optimizer
+    from coponerf_tpu.training.validation import make_val_fn
+
+    model_cfg, model, _, _, _, variables = setup
+    # validation consumes FULL query images (uv covers the image)
+    batch_np, gt = make_batch(
+        batch_size=1, image_size=IMG, n_rays=IMG * IMG, seed=0, full_query_image=True
+    )
+    cfg = Config(
+        model=model_cfg,
+        loss=LossConfig(pose=True, cycle=True, ssim=True),
+        train=TrainConfig(),
+    )
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=make_optimizer(cfg, steps_per_epoch=10),
+    )
+    val_fn = make_val_fn(cfg, [(batch_np, gt)], chunk=8, image_size=IMG)
+    logger = _StubLogger()
+    val_fn(state, step=1, logger=logger)
+    for term in ("val_img_loss", "val_pose_loss", "val_cycle_loss", "val_ssim_loss"):
+        assert term in logger.scalars, (term, sorted(logger.scalars))
+        assert np.isfinite(logger.scalars[term]), term
+    # honest entropy scalar from the REAL at_wt
+    assert "val_ent" in logger.scalars and np.isfinite(logger.scalars["val_ent"])
+    assert "val_warped_img" in logger.images

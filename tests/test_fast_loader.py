@@ -33,6 +33,26 @@ def test_roundtrip(cache_file):
         c.frame(99)
 
 
+def test_truncated_cache_rejected(cache_file, tmp_path):
+    """A corrupt/short file must fail cleanly at open, not SIGBUS in frame
+    accessors (scenecache_open validates size vs header+ts+payload)."""
+    path, _, _ = cache_file
+    blob = open(path, "rb").read()
+    for cut in (4, 30, len(blob) // 2, len(blob) - 1):
+        bad = tmp_path / f"trunc_{cut}.cache"
+        bad.write_bytes(blob[:cut])
+        with pytest.raises(IOError):
+            fast_loader.SceneCache(str(bad))
+    # header present but frame count lies about the payload
+    import struct
+    hacked = bytearray(blob)
+    hacked[8:16] = struct.pack("<Q", 10 ** 6)
+    bad = tmp_path / "hacked_n.cache"
+    bad.write_bytes(bytes(hacked))
+    with pytest.raises(IOError):
+        fast_loader.SceneCache(str(bad))
+
+
 def test_processed_matches_cv2_pipeline(cache_file):
     cv2 = pytest.importorskip("cv2")
     path, frames, _ = cache_file

@@ -50,6 +50,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def make_dataset(opt):
+    """Returns (batch iterator, steps_per_epoch or 0 when unbounded)."""
     if opt.dataset == "synthetic":
         from coponerf_tpu.data.synthetic import make_batch
 
@@ -62,7 +63,7 @@ def make_dataset(opt):
                     n_rays=opt.query_sparsity, seed=seed,
                 )
 
-        return synthetic_iter()
+        return synthetic_iter(), 0
     if opt.dataset == "acid":
         from coponerf_tpu.data.acid import ACID as DS
     else:
@@ -71,7 +72,7 @@ def make_dataset(opt):
 
     ds = DS(opt.data_root, opt.pose_root, num_ctxt_views=opt.views,
             num_query_views=1, query_sparsity=opt.query_sparsity, augment=True)
-    return batch_iterator(ds, opt.batch_size, shuffle=True)
+    return batch_iterator(ds, opt.batch_size, shuffle=True), max(1, len(ds) // opt.batch_size)
 
 
 def main():
@@ -91,6 +92,8 @@ def main():
     from coponerf_tpu.training import checkpoint as ckpt_lib
     from coponerf_tpu.training import trainer
 
+    train_batches, steps_per_epoch = make_dataset(opt)
+
     cfg = Config(
         model=ModelConfig(
             n_view=opt.views, compute_dtype=opt.compute_dtype,
@@ -105,12 +108,13 @@ def main():
             steps_til_summary=opt.steps_til_summary,
             epochs_til_ckpt=opt.epochs_til_ckpt,
             iters_til_ckpt=opt.iters_til_ckpt,
+            steps_per_epoch=steps_per_epoch,
         ),
         logging_root=opt.logging_root,
         experiment_name=opt.experiment_name,
     )
 
-    train_iter = (b for b, _ in iter(make_dataset(opt)))
+    train_iter = (b for b, _ in iter(train_batches))
 
     val_fn = None
     if opt.val_root:
@@ -137,7 +141,7 @@ def main():
         import jax
         import jax.numpy as jnp
 
-        first = next(iter(make_dataset(opt)))[0]
+        first = next(iter(train_batches))[0]
         state = trainer.create_train_state(
             cfg, jax.tree.map(jnp.asarray, first), jax.random.PRNGKey(cfg.train.seed)
         )
