@@ -35,6 +35,7 @@ from coponerf_tpu.models.cross_block import CrossBlock
 from coponerf_tpu.models.layers import (
     Dense,
     MLPSeq,
+    RawDense,
     SplitDense,
     torch_bias_init,
     torch_kernel_init,
@@ -91,14 +92,19 @@ class CoPoNeRF(nn.Module):
         # row-slices + partial sums): the multi-GB concats of per-level sample
         # tensors the reference materializes (CoPoNeRF.py:312,384-408) never
         # hit HBM.  Param trees are identical to plain Dense.
-        ufc_ch = (latent - 64) // 3      # 256: per-level UFC feature width
-        self.query_encode_latent = SplitDense(
-            latent, splits=(ufc_ch, ufc_ch, ufc_ch, 64, 3), dtype=cd,
-            name="query_encode_latent",
-        )
-        self.query_encode_latent_2 = Dense(half, dtype=cd, name="query_encode_latent_2")
-        self.latent_value = SplitDense(half, splits=(half, half), dtype=cd, name="latent_value")
-        self.key_map = SplitDense(hid, splits=(half, half), dtype=cd, name="key_map")
+        # W1 as ONE concat-input matmul: a K-split accumulator chain re-reads
+        # the (tokens, 832) partial four times (~2x the flop-bound time,
+        # trace-verified); the single concat streams K once.  RawDense so the
+        # render path can zero-pad the kernel rows to a lane-aligned 896
+        self.query_encode_latent = RawDense(latent, in_features=latent + 3, name="query_encode_latent")
+        # RawDense = Dense with identical param tree/inits but a readable
+        # kernel: the render path FOLDS these three linear maps (W2 = encode
+        # stage 2, latent_value, key_map) so nothing wider than 128 channels
+        # is computed per epipolar sample after W1 — see render() for the
+        # algebra.  Math is unchanged (linearity), only the evaluation order.
+        self.query_encode_latent_2 = RawDense(half, in_features=latent, name="query_encode_latent_2")
+        self.latent_value = RawDense(half, in_features=latent, name="latent_value")
+        self.key_map = RawDense(hid, in_features=latent, name="key_map")
         self.key_map_2 = Dense(hid, dtype=cd, name="key_map_2")
         self.query_embed = Dense(hid, name="query_embed")
         self.query_embed_2 = Dense(hid, name="query_embed_2")
@@ -249,9 +255,13 @@ class CoPoNeRF(nn.Module):
                 return grid_sample_tablegrad(z, p, mode)
 
         # primary features: all 4 latents sampled along the segments (border
-        # pad), kept per level — SplitDense consumes them without the 832-wide
-        # concat the reference materializes
-        samples_p = [sample(z, pixel_val, "border") for z in state.z]
+        # pad).  Coordinates stay FLAT (B*V, N*S, 2) so sampler outputs keep
+        # the row-major (rows, tokens, C) layout end-to-end — reshaping to
+        # (..., N, S, C) before the matmuls costs ~130 ms/image in pure
+        # relayout copies (trace-verified)
+        NS = n_rays * S
+        pv_flat = pixel_val.reshape(B * V, NS, 2)
+        samples_p = [sample(z, pv_flat, "border") for z in state.z]
 
         # 3D point on the query ray nearest to each epipolar sample
         ctx_flat_c2w = context_cam2world.reshape(B * V, 4, 4)
@@ -289,7 +299,7 @@ class CoPoNeRF(nn.Module):
         px_v1_c2 = norm_px(G.project(pt_v1_c2[..., 0], pt_v1_c2[..., 1], pt_v1_c2[..., 2], intr_v1)[..., :2])
 
         # secondary (cross-view reprojected) features, zeros padding
-        px_stack = jnp.stack([px_v1_c2, px_v2_c1], axis=1).reshape(B * V, n_rays, S, 2)
+        px_stack = jnp.stack([px_v1_c2, px_v2_c1], axis=1).reshape(B * V, NS, 2)
         samples_s = [sample(z, px_stack, "zeros") for z in state.z]
 
         scrub = lambda x: jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
@@ -298,28 +308,86 @@ class CoPoNeRF(nn.Module):
         pt_v1_c2 = scrub(pt_v1_c2)
         pt_v2_c1 = scrub(pt_v2_c1)
 
-        def per_view(samples, v):
-            # leading-axis reshape + slice: fused into the consuming matmul
-            return [s.reshape(B, V, n_rays, S, -1)[:, v] for s in samples]
+        cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-        def enc(parts, pts):
-            t = jnp.tanh(pts / 5.0)
-            pre = self.query_encode_latent(list(parts) + [t])
-            return self.query_encode_latent_2(nn.relu(pre))
+        # The reference's 4 encode calls (CoPoNeRF.py:384-408) stop at the
+        # W1+relu pre-activations here.  Everything downstream of W1 is
+        # LINEAR until the next nonlinearity, so the wide per-sample matmuls
+        # are algebraically deferred (identical math, 64x fewer tokens):
+        #   e_i = r_i @ W2 + b2                        (W2 = query_encode_latent_2)
+        #   key_pre_v = [e_2v || e_2v+1] @ K + bk      (K = key_map)
+        #             = r_2v @ (W2 Ka) + r_2v+1 @ (W2 Kb) + folded bias
+        #   z_sum = sum_{v,s} w[v,s] * ([e_2v || e_2v+1] @ L + bl)
+        #         = (sum ws*r_2v) @ (W2 La) + (sum ws*r_2v+1) @ (W2 Lb) + folded bias
+        # (softmax weights sum to 1 over v,s, so the biases ride along exactly;
+        # L = latent_value).  Per-sample work after W1 is one 832->128 matmul.
+        #
+        # W1 itself runs as ONE matmul per sample set over BOTH view rows
+        # (per-view slicing before the matmul materializes 832-wide slices,
+        # ~90 ms/image trace-verified), with the input concat LANE-ALIGNED:
+        # the narrow conv(64)/tanh(3) pieces pack with zeros into one 128-wide
+        # chunk and W1's kernel rows are zero-padded to match (exact math).
+        #
+        # Sample-set row layout (matches the samplers' view rows):
+        #   pre_p rows: [r0 = primary view 1,        r2 = primary view 2]
+        #   pre_s rows: [r3 = secondary view 1 -> 2, r1 = secondary view 2 -> 1]
+        # chain v=0 has slots (r0, r1); chain v=1 has slots (r2, r3).
+        pt_primary = jnp.stack([pt_v1_c1, pt_v2_c2], axis=1).reshape(B * V, NS, 3)
+        pt_secondary = jnp.stack([pt_v1_c2, pt_v2_c1], axis=1).reshape(B * V, NS, 3)
 
-        # the reference's 4 encode calls (CoPoNeRF.py:384-408) as split-matmul
-        # chains: (view's samples, 3D-point set) per combination
-        e0 = enc(per_view(samples_p, 0), pt_v1_c1)  # primary view 1
-        e1 = enc(per_view(samples_s, 1), pt_v2_c1)  # secondary view 2 -> 1
-        e2 = enc(per_view(samples_p, 1), pt_v2_c2)  # primary view 2
-        e3 = enc(per_view(samples_s, 0), pt_v1_c2)  # secondary view 1 -> 2
-        # per-view 416-dim value/key chains; the 832-wide [e_a || e_b] concat
-        # is a kernel split instead
-        jl = (self.latent_value([e0, e1]), self.latent_value([e2, e3]))    # (B, N, S, 416) x2
-        kv = (
-            self.key_map_2(nn.relu(self.key_map([e0, e1]))),
-            self.key_map_2(nn.relu(self.key_map([e2, e3]))),
-        )                                                                  # (B, N, S, 128) x2
+        w1_k = self.query_encode_latent.kernel                             # (835, 832)
+        w1_b = self.query_encode_latent.bias
+        from coponerf_tpu.ops.pallas.split_matmul import split_dense_relu
+
+        half = cfg.latent_dim // 2
+        w2_k = self.query_encode_latent_2.kernel                           # (832, 416)
+        w2_b = self.query_encode_latent_2.bias                             # (416,)
+        km_k, km_b = self.key_map.kernel, self.key_map.bias                # (832, 128)
+        lv_k, lv_b = self.latent_value.kernel, self.latent_value.bias      # (832, 416)
+        fk_a = w2_k @ km_k[:half]                                          # (832, 128)
+        fk_b = w2_k @ km_k[half:]
+        fk_bias = w2_b @ (km_k[:half] + km_k[half:]) + km_b
+        flv_a = w2_k @ lv_k[:half]                                         # (832, 416)
+        flv_b = w2_k @ lv_k[half:]
+        flv_bias = w2_b @ (lv_k[:half] + lv_k[half:]) + lv_b
+
+        def pre_act(samples, pts, fk):
+            t = jnp.tanh(pts / 5.0).astype(cd)
+            parts = tuple(s.astype(cd) for s in samples) + (t,)
+            return split_dense_relu(parts, w1_k, w1_b, fk, out_dtype=cd)   # (B*V, NS, 832|128)
+
+        # slot-a keys come from pre_p rows (r0, r2: chain of their own view);
+        # slot-b keys from pre_s rows, which sit in FLIPPED view order
+        # (row0 = r3 -> chain 1, row1 = r1 -> chain 0).  The folded key
+        # product rides out of the W1 kernel while the activation is in VMEM.
+        pre_p, ka = pre_act(samples_p, pt_primary, fk_a)
+        pre_s, kb = pre_act(samples_s, pt_secondary, fk_b)
+
+        kpre = (
+            ka.reshape(B, V, n_rays, S, -1)
+            + kb.reshape(B, V, n_rays, S, -1)[:, ::-1]
+            + fk_bias.astype(cd)
+        )
+        kv_bv = self.key_map_2(nn.relu(kpre))                              # (B, V, N, S, 128)
+
+        def weighted_latent(at_bv):
+            """sum_{v,s} w[v,s] * latent_value([e_2v || e_2v+1]) with the
+            linear maps deferred to per-ray tokens.  The view flip for the
+            slot-b tensors is applied to the (tiny) weights, not the 1.7 GB
+            activations."""
+            def wsum(w_bv, pre):
+                # explicit multiply + f32-accumulated reduce over the MINOR-
+                # adjacent S axis only (a joint (v,s) reduce splits into two
+                # stages with 4.3 GB f32 intermediates, trace-verified), then
+                # the cheap V-sum on the small result
+                w = w_bv.reshape(B * V, n_rays, S, 1).astype(pre.dtype)
+                rw = pre.reshape(B * V, n_rays, S, -1) * w
+                per_view = jnp.sum(rw, axis=2, dtype=jnp.float32)          # (B*V, N, C)
+                return jnp.sum(per_view.reshape(B, V, n_rays, -1), axis=1)
+
+            ua = wsum(at_bv, pre_p)
+            ub = wsum(at_bv[:, ::-1], pre_s)
+            return ua @ flv_a + ub @ flv_b + flv_bias                      # (B, N, 416)
 
         cam_rays = G.get_ray_directions_cam(pixel_val, ctx_flat_intr, H, W)
         ray_dir_s = jnp.broadcast_to(ray_dir[:, :, None, :], cam_rays.shape)
@@ -348,18 +416,13 @@ class CoPoNeRF(nn.Module):
             w = jax.nn.softmax(d, axis=-1)
             return w.reshape(B, n_rays, V, S).transpose(0, 2, 1, 3)
 
-        dot1 = jnp.stack(
-            [jnp.sum(kv[v].astype(jnp.float32) * ce[:, v], axis=-1) for v in range(V)], axis=1
-        ) / 11.31
+        dot1 = jnp.sum(kv_bv.astype(jnp.float32) * ce, axis=-1) / 11.31     # (B, V, N, S)
         at_wt_bv = joint_softmax_bv(dot1)                                  # (B, V, N, S)
         at_wt = at_wt_bv.reshape(B * V, n_rays, S)                         # round-1 weights
 
         # view-summed attended latent (the reference broadcasts this back to
         # both view slots, CoPoNeRF.py:455-461; both slots hold the same sum)
-        z_sum = sum(
-            jnp.sum(jl[v].astype(jnp.float32) * at_wt_bv[:, v][..., None], axis=-2)
-            for v in range(V)
-        )                                                                  # (B, N, 416)
+        z_sum = weighted_latent(at_wt_bv)                                  # (B, N, 416)
 
         if cfg.repeat_attention:
             z_embed = self.encode_latent(z_sum)                            # (B, N, 128)
@@ -367,30 +430,19 @@ class CoPoNeRF(nn.Module):
                 z_embed[:, :, None, :], (B, n_rays, S, z_embed.shape[-1])
             )
             lc = local_coords.reshape(B, V, n_rays, S, -1)
-            dot2 = jnp.stack(
-                [
-                    jnp.sum(
-                        self.query_repeat_embed_2(
-                            nn.relu(self.query_repeat_embed([ze, lc[:, v]]))
-                        )
-                        * ce[:, v],
-                        axis=-1,
-                    )
-                    for v in range(V)
-                ],
-                axis=1,
-            ) / 11.31
+            ze_bv = jnp.broadcast_to(ze[:, None], (B, V) + ze.shape[1:])
+            dot2 = jnp.sum(
+                self.query_repeat_embed_2(
+                    nn.relu(self.query_repeat_embed([ze_bv, lc]))
+                )
+                * ce,
+                axis=-1,
+            ) / 11.31                                                      # (B, V, N, S)
             at_wt2_bv = joint_softmax_bv(dot2)
             # per-view partial2 + the (already view-summed) z_sum per slot,
             # then view-summed again: sum_v(partial2_v) + V * z_sum — exactly
             # the reference's repeated view_sum semantics
-            z_sum = (
-                sum(
-                    jnp.sum(jl[v].astype(jnp.float32) * at_wt2_bv[:, v][..., None], axis=-2)
-                    for v in range(V)
-                )
-                + V * z_sum
-            )
+            z_sum = weighted_latent(at_wt2_bv) + V * z_sum
 
         # assemble the light-field decoder input: every view slot carries the
         # same view-summed latent, so z_flat is V copies of z_sum

@@ -52,6 +52,48 @@ class Dense(nn.Module):
         )(x)
 
 
+class _RawDenseCore(nn.Module):
+    """Param holder matching nn.Dense's tree ({kernel, bias}) and torch
+    default inits, but exposing the raw arrays as attributes so callers can
+    fold this layer's kernel into adjacent linear maps (e.g. ``K @ W2``)."""
+
+    features: int
+    in_features: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", torch_kernel_init, (self.in_features, self.features)
+        )
+        self.bias = self.param(
+            "bias", torch_bias_init(self.in_features), (self.features,)
+        )
+
+
+class RawDense(nn.Module):
+    """Drop-in for Dense (identical param path ``<name>/Dense_0/{kernel,bias}``
+    and init distributions) whose kernel/bias are directly readable via
+    ``.kernel``/``.bias`` — required by the render path's algebraic folding
+    (latent_value/key_map deferred through query_encode_latent_2)."""
+
+    features: int
+    in_features: int
+
+    def setup(self):
+        self.core = _RawDenseCore(self.features, self.in_features, name="Dense_0")
+
+    @property
+    def kernel(self):
+        return self.core.kernel
+
+    @property
+    def bias(self):
+        return self.core.bias
+
+    def __call__(self, x):
+        assert x.shape[-1] == self.in_features, (x.shape, self.in_features)
+        return x @ self.core.kernel + self.core.bias
+
+
 class _SplitDenseCore(nn.Module):
     """Dense whose input arrives pre-split along the feature axis: applies
     kernel row-slices per chunk and sums the partial products.  Math-identical

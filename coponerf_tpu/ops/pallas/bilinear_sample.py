@@ -22,6 +22,132 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _kernel_xy(xy_ref, table_ref, out_ref, *, block_p, block_hw, w_img, zeros_mode):
+    """One-hot sampling with corners/weights computed IN-KERNEL from pixel
+    x/y vectors.  The (B, P, 4) corner-id/weight tensors of the original
+    kernel have a 4-wide lane axis that the TPU's (8, 128) tiling pads 32x —
+    their HBM round-trips cost more than the matmul at small grids.  Here the
+    input is a dense (B, 2, P) coordinate array and the 4-corner bilinear
+    decomposition happens on the VPU inside the kernel.  The selection matrix
+    is built TRANSPOSED (block_hw, block_p) so the per-point quantities stay
+    lane vectors (no in-kernel transposes); the MXU contracts its sublane dim
+    against the table rows directly."""
+    h = pl.program_id(2)
+    x = xy_ref[0, 0, :]                   # (block_p,) pixel coords, pre-clamped
+    y = xy_ref[0, 1, :]
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (block_hw, block_p), 0) + h * block_hw
+    mt = jnp.zeros((block_hw, block_p), jnp.float32)
+    for a in (0, 1):
+        for b in (0, 1):
+            wc = (wx if b else 1.0 - wx) * (wy if a else 1.0 - wy)
+            xi = x0 + b
+            yi = y0 + a
+            idx = yi * w_img + xi
+            if zeros_mode:
+                # out-of-range corners contribute nothing.  yi >= H gives
+                # idx >= HW (never matches); xi outside [0, W) or yi < 0
+                # would ALIAS another cell's id, so force a non-id
+                idx = jnp.where((xi >= 0) & (xi < w_img) & (yi >= 0), idx, -1)
+            mt = mt + jnp.where(ids == idx[None, :], wc[None, :], 0.0)
+    part = jax.lax.dot_general(
+        mt.astype(jnp.bfloat16), table_ref[0].astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(h == 0)
+    def _():
+        out_ref[0] = part.astype(out_ref.dtype)
+
+    @pl.when(h > 0)
+    def _():
+        out_ref[0] = (out_ref[0].astype(jnp.float32) + part).astype(out_ref.dtype)
+
+
+def onehot_matmul_sample_xy(
+    table: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    w_img: int,
+    zeros_mode: bool,
+    block_p: int = 512,
+    block_hw: int = 2048,
+    out_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """table: (B, HW, C); x, y: (B, P) f32 UNNORMALIZED pixel coords already
+    clamped (border) or NaN-scrubbed with out-of-range markers (zeros).
+    Returns (B, P, C)."""
+    B, HW, C = table.shape
+    P = x.shape[1]
+    block_hw = min(block_hw, HW)
+    assert HW % block_hw == 0, (HW, block_hw)
+    pad = (-P) % block_p
+    if pad:
+        # pad with -10: floor lands at -10, corners never match any cell
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-10.0)
+        y = jnp.pad(y, ((0, 0), (0, pad)), constant_values=-10.0)
+    Pp = P + pad
+    xy = jnp.stack([x, y], axis=1)                    # (B, 2, Pp)
+    grid = (B, Pp // block_p, HW // block_hw)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_xy, block_p=block_p, block_hw=block_hw, w_img=w_img,
+            zeros_mode=zeros_mode,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Pp, C), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2, block_p), lambda b, p, h: (b, 0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_hw, C), lambda b, p, h: (b, h, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_p, C), lambda b, p, h: (b, p, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xy, table)
+    return out[:, :P]
+
+
+def _pixel_coords(grid, H: int, W: int, padding_mode: str, align_corners: bool = False):
+    """Grid [-1, 1] (x, y) -> clamped pixel-space (x, y) vectors (B, P) plus
+    the semantics match of bilinear_corner_decomposition: border clamps into
+    the valid texel range; zeros scrubs NaN/Inf to a far-out sentinel whose
+    corners never match a cell."""
+    from coponerf_tpu.ops.grid_sample import _unnormalize, _COORD_CLIP, _EDGE_EPS
+
+    B = grid.shape[0]
+    g = grid.reshape(B, -1, 2)
+    x = _unnormalize(g[..., 0].astype(jnp.float32), W, align_corners)
+    y = _unnormalize(g[..., 1].astype(jnp.float32), H, align_corners)
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1.0 - _EDGE_EPS)
+        y = jnp.clip(y, 0.0, H - 1.0 - _EDGE_EPS)
+    else:
+        x = jnp.clip(
+            jnp.nan_to_num(x, nan=-_COORD_CLIP, posinf=_COORD_CLIP, neginf=-_COORD_CLIP),
+            -_COORD_CLIP, _COORD_CLIP,
+        )
+        y = jnp.clip(
+            jnp.nan_to_num(y, nan=-_COORD_CLIP, posinf=_COORD_CLIP, neginf=-_COORD_CLIP),
+            -_COORD_CLIP, _COORD_CLIP,
+        )
+        # int32-safe: corners of |coord| >= 3e4 can't alias a real cell id
+        # because idx is forced to -1 for negative corners in-kernel and
+        # y*W + x for huge positives exceeds any block's id range (HW <= 2^16,
+        # 3e4 * W >= 1.9e6 > HW)
+    return x, y
+
+
 def _kernel(idx_ref, w_ref, table_ref, out_ref, *, block_p, block_hw, n_hw_chunks):
     h = pl.program_id(2)
     idx = idx_ref[0]          # (BLK_P, 4) int32 in-bounds flat corner ids
@@ -211,6 +337,57 @@ def onehot_transpose_matmul(g, corner_idx, corner_w, HW: int, block_hw: int = 51
     return out[:, :HW]
 
 
+def _corners_from_pixel_xy(x, y, w_img: int, zeros_mode: bool):
+    """Pixel-space (x, y) -> (idx, w) (B, P, 4) matching _kernel_xy's corner
+    semantics (used only in the backward, where the (B,P,4) layout cost is
+    acceptable).  Invalid corners keep idx=-1 (never matches in the transpose
+    kernel) and weight 0."""
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    idxs, ws = [], []
+    for a in (0, 1):
+        for b in (0, 1):
+            wc = (wx if b else 1.0 - wx) * (wy if a else 1.0 - wy)
+            xi = x0 + b
+            yi = y0 + a
+            idx = yi * w_img + xi
+            if zeros_mode:
+                valid = (xi >= 0) & (xi < w_img) & (yi >= 0)
+                idx = jnp.where(valid, idx, -1)
+                wc = wc * valid.astype(wc.dtype)
+            idxs.append(idx)
+            ws.append(wc)
+    return jnp.stack(idxs, axis=-1), jnp.stack(ws, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def onehot_sample_xy_diff(table, x, y, w_img, zeros_mode, out_dtype):
+    """Differentiable xy-input one-hot sampling (gradient to table only)."""
+    return onehot_matmul_sample_xy(table, x, y, w_img, zeros_mode, out_dtype=out_dtype)
+
+
+def _onehot_xy_fwd(table, x, y, w_img, zeros_mode, out_dtype):
+    out = onehot_matmul_sample_xy(table, x, y, w_img, zeros_mode, out_dtype=out_dtype)
+    carrier = jnp.zeros((table.shape[1], 0), table.dtype)
+    return out, (x, y, carrier)
+
+
+def _onehot_xy_bwd(w_img, zeros_mode, out_dtype, res, g):
+    x, y, carrier = res
+    idx, w = _corners_from_pixel_xy(x, y, w_img, zeros_mode)
+    dtable = onehot_transpose_matmul(
+        g.astype(jnp.float32), idx, w, carrier.shape[0]
+    )
+    return dtable.astype(carrier.dtype), jnp.zeros_like(x), jnp.zeros_like(y)
+
+
+onehot_sample_xy_diff.defvjp(_onehot_xy_fwd, _onehot_xy_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def onehot_sample_diff(table, corner_idx, corner_w, out_dtype):
     """Differentiable one-hot sampling: gradient flows to ``table`` only.
@@ -323,8 +500,13 @@ def grid_sample_onehot(image: jnp.ndarray, grid, padding_mode: str = "zeros", al
     (HW <= ~4096).  image: (B, H, W, C) -> (B, ..., C)."""
     B, H, W, C = image.shape
     batch_shape = grid.shape[:-1]
-    idx, w = bilinear_corner_decomposition(grid, H, W, padding_mode, align_corners)
-    out = onehot_sample_diff(
-        image.reshape(B, H * W, C), idx, jax.lax.stop_gradient(w), out_dtype
+    x, y = _pixel_coords(grid, H, W, padding_mode, align_corners)
+    out = onehot_sample_xy_diff(
+        image.reshape(B, H * W, C),
+        jax.lax.stop_gradient(x),
+        jax.lax.stop_gradient(y),
+        W,
+        padding_mode != "border",
+        out_dtype,
     )
     return out.reshape(*batch_shape, C)

@@ -115,7 +115,7 @@ def main():
         items.sort(key=lambda x: -x[1])
         tot = sum(t for _, t, _ in items)
         print(f"\n== {plane} (total {tot:.1f} ms) ==")
-        for name, t, c in items[:40]:
+        for name, t, c in items[:160]:
             print(f"  {t:9.2f} ms  x{c:<5d} {name[:110]}")
 
 
