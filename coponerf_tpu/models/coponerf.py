@@ -242,12 +242,12 @@ class CoPoNeRF(nn.Module):
 
         if cfg.fast_sampling:
             def sample(z, p, mode):
-                # measured on v5e: MXU one-hot wins up to 32^2 grids; larger
-                # grids are fastest as bf16 2x2-patch gathers (slice-size
-                # bound), both ~1e-3 relative error.  Everything emits bf16
-                # (the consumers are the bf16 encode Denses).  Under training
-                # the patch gather keeps HBM headroom (no kernel residuals).
-                if z.shape[1] * z.shape[2] <= 1024 and not train:
+                # measured on v5e: the in-kernel-corner MXU one-hot wins up to
+                # 64^2 grids (33 vs 46 ms/Mpt at 64^2x256); 256^2 stays a bf16
+                # 2x2-patch gather (one-hot flops scale with HW).  Everything
+                # emits bf16 (the consumers are the bf16 encode Denses).
+                # Under training the patch gather keeps HBM headroom.
+                if z.shape[1] * z.shape[2] <= 4096 and not train:
                     return grid_sample_onehot(z, p, padding_mode=mode, out_dtype=jnp.bfloat16)
                 return grid_sample_tablegrad(z.astype(jnp.bfloat16), p, mode)
         else:

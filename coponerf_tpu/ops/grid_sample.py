@@ -54,17 +54,23 @@ def grid_sample(
     if padding_mode == "border":
         x = jnp.clip(x, 0.0, W - 1.0 - _EDGE_EPS)
         y = jnp.clip(y, 0.0, H - 1.0 - _EDGE_EPS)
-        masks = None
     else:
+        # zeros padding via a 2-texel zero ring: every bilinear corner then
+        # reads its exact value (in-image texel or ring zero) with UNCHANGED
+        # weights — no validity masks or patch-cell weight remapping (the
+        # mask+remap formulation costs ~2x the gather itself, trace-verified).
+        # Any point with a corner outside the ring has ALL corners out of
+        # image (true value 0), and start-clamping keeps it reading zeros.
         x = jnp.clip(
             jnp.nan_to_num(x, nan=-_COORD_CLIP, posinf=_COORD_CLIP, neginf=-_COORD_CLIP),
             -_COORD_CLIP, _COORD_CLIP,
-        )
+        ) + 2.0
         y = jnp.clip(
             jnp.nan_to_num(y, nan=-_COORD_CLIP, posinf=_COORD_CLIP, neginf=-_COORD_CLIP),
             -_COORD_CLIP, _COORD_CLIP,
-        )
-        masks = True
+        ) + 2.0
+        image = jnp.pad(image, ((0, 0), (2, 2), (2, 2), (0, 0)))
+        H, W = H + 4, W + 4
 
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
@@ -75,36 +81,9 @@ def grid_sample(
 
     # weights indexed w[a][b]: a = y-corner (0/1), b = x-corner (0/1)
     w = [[(1 - wx) * (1 - wy), wx * (1 - wy)], [(1 - wx) * wy, wx * wy]]
-    if masks is not None:
-        def m(xi, yi):
-            return ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)).astype(image.dtype)
-
-        w = [[w[a][b] * m(x0 + b, y0 + a) for b in (0, 1)] for a in (0, 1)]
-        # restrict corner anchors so the patch start differs from (y0, x0)
-        # by at most one texel; fully-out points already have zero weights
-        x0 = jnp.clip(x0, -1, W - 1)
-        y0 = jnp.clip(y0, -1, H - 1)
-
     sx = jnp.clip(x0, 0, W - 2)
     sy = jnp.clip(y0, 0, H - 2)
-
-    if masks is None:
-        # border coords were pre-clamped below the last texel: start == anchor
-        wpatch = jnp.stack([w[0][0], w[0][1], w[1][0], w[1][1]], axis=-1)
-    else:
-        # corner (a, b) lands at patch cell (a + dy, b + dx); remap weights
-        dy = y0 - sy  # in {-1, 0, 1}
-        dx = x0 - sx
-        cells = []
-        for i in (0, 1):
-            for j in (0, 1):
-                acc = jnp.zeros_like(w[0][0])
-                for a in (0, 1):
-                    for b in (0, 1):
-                        hit = ((a + dy == i) & (b + dx == j)).astype(image.dtype)
-                        acc = acc + w[a][b] * hit
-                cells.append(acc)
-        wpatch = jnp.stack(cells, axis=-1)
+    wpatch = jnp.stack([w[0][0], w[0][1], w[1][0], w[1][1]], axis=-1)
 
     weights = wpatch.reshape(B, -1, 2, 2)
     starts = jnp.stack([sy, sx], axis=-1).reshape(B, -1, 2)

@@ -43,9 +43,13 @@ def _kernel(p0, p1, p2, pc, pt, w0, w1, w2, wc, wt, b, fk, out_ref, k_ref, *, re
     k_ref[0] = jnp.dot(out, fk[:], preferred_element_type=jnp.float32).astype(k_ref.dtype)
 
 
-def _forward(parts, kernel, bias, fk, out_dtype, relu, block_t=1024):
+def _forward(parts, kernel, bias, fk, out_dtype, relu, block_t=None):
     p0, p1, p2, pc, pt = parts
     B, T, _ = p0.shape
+    if block_t is None:
+        # f32 operands double every VMEM buffer; 1024-token blocks fit only
+        # in bf16 (measured: 23 MB scoped vmem at f32/1024 vs the 16 MB cap)
+        block_t = 1024 if p0.dtype == jnp.bfloat16 else 384
     N = kernel.shape[1]
     NK = fk.shape[1]
     splits = [p.shape[-1] for p in parts]

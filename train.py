@@ -35,6 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_epochs", type=int, default=40001)
     p.add_argument("--max_steps", type=int, default=1000000)
     p.add_argument("--query_sparsity", type=int, default=192)
+    p.add_argument("--num_workers", type=int, default=8,
+                   help="loader worker processes (reference train.py:89-90)")
     p.add_argument("--cycle", action="store_true", default=False)
     p.add_argument("--pose", action="store_true", default=False)
     p.add_argument("--ssim", action="store_true", default=False)
@@ -68,11 +70,13 @@ def make_dataset(opt):
         from coponerf_tpu.data.acid import ACID as DS
     else:
         from coponerf_tpu.data.realestate import RealEstate10k as DS
-    from coponerf_tpu.data.scene_dataset import batch_iterator
+    from coponerf_tpu.data.loader import make_loader
 
     ds = DS(opt.data_root, opt.pose_root, num_ctxt_views=opt.views,
             num_query_views=1, query_sparsity=opt.query_sparsity, augment=True)
-    return batch_iterator(ds, opt.batch_size, shuffle=True), max(1, len(ds) // opt.batch_size)
+    # multiprocess prefetching (reference: 8 DataLoader workers, train.py:89-90)
+    it = make_loader(ds, opt.batch_size, shuffle=True, num_workers=opt.num_workers)
+    return it, max(1, len(ds) // opt.batch_size)
 
 
 def main():
