@@ -105,11 +105,14 @@ class CoPoNeRF(nn.Module):
         self.query_encode_latent_2 = RawDense(half, in_features=latent, name="query_encode_latent_2")
         self.latent_value = RawDense(half, in_features=latent, name="latent_value")
         self.key_map = RawDense(hid, in_features=latent, name="key_map")
-        self.key_map_2 = Dense(hid, dtype=cd, name="key_map_2")
-        self.query_embed = Dense(hid, name="query_embed")
-        self.query_embed_2 = Dense(hid, name="query_embed_2")
-        self.query_repeat_embed = SplitDense(hid, splits=(hid, 16), name="query_repeat_embed")
-        self.query_repeat_embed_2 = Dense(hid, name="query_repeat_embed_2")
+        # attention-chain Denses as RawDense (param trees identical): the
+        # fast path fuses the whole chain into ops/pallas/attn_embed.py
+        # kernels, which need direct kernel/bias access
+        self.key_map_2 = RawDense(hid, in_features=hid, dtype=cd, name="key_map_2")
+        self.query_embed = RawDense(hid, in_features=16, name="query_embed")
+        self.query_embed_2 = RawDense(hid, in_features=hid, name="query_embed_2")
+        self.query_repeat_embed = RawDense(hid, in_features=hid + 16, name="query_repeat_embed")
+        self.query_repeat_embed_2 = RawDense(hid, in_features=hid, name="query_repeat_embed_2")
         self.encode_latent = Dense(hid, name="encode_latent")
         self.phi = ResnetFC(
             d_in=c.n_view * 9, d_out=3, n_blocks=3, d_latent=half * c.n_view,
@@ -237,30 +240,61 @@ class CoPoNeRF(nn.Module):
         # on TPU (~700ms/level) vs the MXU transpose kernel (~1-6ms).
         from coponerf_tpu.ops.pallas.bilinear_sample import (
             grid_sample_onehot,
+            grid_sample_onehot_window,
             grid_sample_tablegrad,
         )
 
+        # Token order: the eval fast path runs SAMPLE-MAJOR (token t = s*N + n
+        # — fixed epipolar sample index, consecutive rays) so each sampler
+        # point block covers image-adjacent points and the banded one-hot
+        # kernels skip the table chunks outside a few-row band (measured
+        # bands: <=3.5% of the table at 64^2, <=1.2% at 256^2).  Training
+        # and the exact path stay ray-major.  Order only permutes tokens;
+        # per-ray results are identical (reduction order aside).
+        smaj = cfg.fast_sampling and not train
+
+        def tokf(t):
+            """(B*V, N, S, C) -> (B*V, T, C) in the active token order."""
+            if smaj:
+                t = t.transpose(0, 2, 1, 3)
+            return t.reshape(t.shape[0], n_rays * S, -1)
+
         if cfg.fast_sampling:
             def sample(z, p, mode):
-                # measured on v5e: the in-kernel-corner MXU one-hot wins up to
-                # 64^2 grids (33 vs 46 ms/Mpt at 64^2x256); 256^2 stays a bf16
-                # 2x2-patch gather (one-hot flops scale with HW).  Everything
-                # emits bf16 (the consumers are the bf16 encode Denses).
-                # Under training the patch gather keeps HBM headroom.
-                if z.shape[1] * z.shape[2] <= 4096 and not train:
-                    return grid_sample_onehot(z, p, padding_mode=mode, out_dtype=jnp.bfloat16)
+                # banded one-hot for the <=64^2 levels under sample-major
+                # order (3x on the 64^2 level); 256^2 stays a bf16 2x2-patch
+                # gather — at that size even skipped band grid steps or
+                # per-block band DMAs cost more than the gather (both
+                # measured).  Everything emits bf16 (the consumers are the
+                # bf16 encode Denses).  Under training the patch gather
+                # keeps HBM headroom and exact table gradients.
+                hw = z.shape[1] * z.shape[2]
+                if smaj and hw <= 4096:
+                    # 1024-point blocks quarter the grid-step count (the
+                    # small levels are step-overhead-bound at ~1.6 us/step);
+                    # bands stay narrow because 1024 s-major tokens span
+                    # only ~4 image rows of rays
+                    return grid_sample_onehot(
+                        z, p, padding_mode=mode, out_dtype=jnp.bfloat16,
+                        banded=True, block_hw=max(256, hw // 4), block_p=1024,
+                    )
+                # 256^2 stays the bf16 patch gather: it runs at the gather
+                # engine's ~11 ns/index rate, and BOTH banded one-hot
+                # formulations lose to it (grid-clamp: 421 ms; windowed
+                # bulk-DMA blocks: ~2x the gather; measured) — see
+                # ops/pallas/bilinear_sample.py for the kernels
                 return grid_sample_tablegrad(z.astype(jnp.bfloat16), p, mode)
         else:
             def sample(z, p, mode):
                 return grid_sample_tablegrad(z, p, mode)
 
         # primary features: all 4 latents sampled along the segments (border
-        # pad).  Coordinates stay FLAT (B*V, N*S, 2) so sampler outputs keep
+        # pad).  Coordinates stay FLAT (B*V, T, 2) so sampler outputs keep
         # the row-major (rows, tokens, C) layout end-to-end — reshaping to
         # (..., N, S, C) before the matmuls costs ~130 ms/image in pure
         # relayout copies (trace-verified)
         NS = n_rays * S
-        pv_flat = pixel_val.reshape(B * V, NS, 2)
+        pv_flat = tokf(pixel_val)
         samples_p = [sample(z, pv_flat, "border") for z in state.z]
 
         # 3D point on the query ray nearest to each epipolar sample
@@ -299,7 +333,7 @@ class CoPoNeRF(nn.Module):
         px_v1_c2 = norm_px(G.project(pt_v1_c2[..., 0], pt_v1_c2[..., 1], pt_v1_c2[..., 2], intr_v1)[..., :2])
 
         # secondary (cross-view reprojected) features, zeros padding
-        px_stack = jnp.stack([px_v1_c2, px_v2_c1], axis=1).reshape(B * V, NS, 2)
+        px_stack = tokf(jnp.stack([px_v1_c2, px_v2_c1], axis=1).reshape(B * V, n_rays, S, 2))
         samples_s = [sample(z, px_stack, "zeros") for z in state.z]
 
         scrub = lambda x: jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
@@ -332,8 +366,8 @@ class CoPoNeRF(nn.Module):
         #   pre_p rows: [r0 = primary view 1,        r2 = primary view 2]
         #   pre_s rows: [r3 = secondary view 1 -> 2, r1 = secondary view 2 -> 1]
         # chain v=0 has slots (r0, r1); chain v=1 has slots (r2, r3).
-        pt_primary = jnp.stack([pt_v1_c1, pt_v2_c2], axis=1).reshape(B * V, NS, 3)
-        pt_secondary = jnp.stack([pt_v1_c2, pt_v2_c1], axis=1).reshape(B * V, NS, 3)
+        pt_primary = tokf(jnp.stack([pt_v1_c1, pt_v2_c2], axis=1).reshape(B * V, n_rays, S, 3))
+        pt_secondary = tokf(jnp.stack([pt_v1_c2, pt_v2_c1], axis=1).reshape(B * V, n_rays, S, 3))
 
         w1_k = self.query_encode_latent.kernel                             # (835, 832)
         w1_b = self.query_encode_latent.bias
@@ -351,38 +385,62 @@ class CoPoNeRF(nn.Module):
         flv_b = w2_k @ lv_k[half:]
         flv_bias = w2_b @ (lv_k[:half] + lv_k[half:]) + lv_b
 
-        def pre_act(samples, pts, fk):
+        def pre_act(samples, pts, fk, swap_k=False):
             t = jnp.tanh(pts / 5.0).astype(cd)
             parts = tuple(s.astype(cd) for s in samples) + (t,)
-            return split_dense_relu(parts, w1_k, w1_b, fk, out_dtype=cd)   # (B*V, NS, 832|128)
+            return split_dense_relu(
+                parts, w1_k, w1_b, fk, out_dtype=cd, relu=True, swap_k_pairs=swap_k
+            )                                                              # (B*V, NS, 832|128)
 
         # slot-a keys come from pre_p rows (r0, r2: chain of their own view);
         # slot-b keys from pre_s rows, which sit in FLIPPED view order
         # (row0 = r3 -> chain 1, row1 = r1 -> chain 0).  The folded key
         # product rides out of the W1 kernel while the activation is in VMEM.
+        # (An in-kernel permuted k-row write was tried to skip the XLA flip:
+        # it cost far more than the 536 MB reverse it saved.)
         pre_p, ka = pre_act(samples_p, pt_primary, fk_a)
         pre_s, kb = pre_act(samples_s, pt_secondary, fk_b)
 
-        kpre = (
-            ka.reshape(B, V, n_rays, S, -1)
-            + kb.reshape(B, V, n_rays, S, -1)[:, ::-1]
-            + fk_bias.astype(cd)
-        )
-        kv_bv = self.key_map_2(nn.relu(kpre))                              # (B, V, N, S, 128)
+        # token-grid shape in the active order: (B, V, N, S) or (B, V, S, N)
+        tg = (B, V, S, n_rays) if smaj else (B, V, n_rays, S)
+        # Fused attn-chain Pallas kernels are OPT-IN: measured 79.5k vs 89-91k
+        # rays/s with the XLA chain (the 128-wide per-token matmul chain is
+        # something XLA already schedules well; the kernels' narrow-row
+        # logits outputs and per-(s,n) grids cost more than the fused chain
+        # saves).  Kept for further tuning.
+        use_attn_kernels = smaj and bool(int(__import__("os").environ.get("COPONERF_ATTN_KERNELS", "0")))
+        if use_attn_kernels:
+            kb = kb.reshape(B, V, *kb.shape[1:])[:, ::-1].reshape(kb.shape)
+        if not use_attn_kernels:
+            kpre = (
+                ka.reshape(*tg, -1)
+                + kb.reshape(*tg, -1)[:, ::-1]
+                + fk_bias.astype(cd)
+            )
+            kv_bv = self.key_map_2(nn.relu(kpre))                          # (*tg, 128)
 
         def weighted_latent(at_bv):
             """sum_{v,s} w[v,s] * latent_value([e_2v || e_2v+1]) with the
             linear maps deferred to per-ray tokens.  The view flip for the
             slot-b tensors is applied to the (tiny) weights, not the 1.7 GB
-            activations."""
+            activations.  at_bv arrives RAY-MAJOR (B, V, N, S); under smaj
+            the (tiny) weights are transposed to match the tokens."""
             def wsum(w_bv, pre):
-                # explicit multiply + f32-accumulated reduce over the MINOR-
-                # adjacent S axis only (a joint (v,s) reduce splits into two
-                # stages with 4.3 GB f32 intermediates, trace-verified), then
-                # the cheap V-sum on the small result
-                w = w_bv.reshape(B * V, n_rays, S, 1).astype(pre.dtype)
-                rw = pre.reshape(B * V, n_rays, S, -1) * w
-                per_view = jnp.sum(rw, axis=2, dtype=jnp.float32)          # (B*V, N, C)
+                # Pallas streaming reduction under smaj: XLA reassociates
+                # the (multiply, reduce) chain into two stages with a f32
+                # copy of the whole 832-wide activation (3.5 GB/pass,
+                # trace-verified at ~45 ms vs the ~5 ms bandwidth bound)
+                if smaj:
+                    from coponerf_tpu.ops.pallas.weighted_sum import weighted_sum_smaj
+
+                    w = w_bv.reshape(B * V, n_rays, S)
+                    per_view = weighted_sum_smaj(pre, w, S)                # (B*V, N, C)
+                else:
+                    # explicit multiply + f32-accumulated reduce over the
+                    # MINOR-adjacent S axis only, then the cheap V-sum
+                    w = w_bv.reshape(B * V, n_rays, S, 1).astype(pre.dtype)
+                    rw = pre.reshape(B * V, n_rays, S, -1) * w
+                    per_view = jnp.sum(rw, axis=2, dtype=jnp.float32)      # (B*V, N, C)
                 return jnp.sum(per_view.reshape(B, V, n_rays, -1), axis=1)
 
             ua = wsum(at_bv, pre_p)
@@ -406,17 +464,34 @@ class CoPoNeRF(nn.Module):
         local_coords = jnp.concatenate(
             [cam_rays, cam_origin_zeros, ray_dir_s, depth_encode, query_ray_orig_ex], axis=-1
         )                                                                  # 16 channels
-        coords_embed = self.query_embed_2(nn.relu(self.query_embed(local_coords)))
-        ce = coords_embed.reshape(B, V, n_rays, S, -1)
+        lc_tok = tokf(local_coords.reshape(B * V, n_rays, S, -1))          # (B*V, T, 16)
 
         def joint_softmax_bv(dots):
-            """(B, V, N, S) logits -> softmax jointly over both views' samples,
-            returned in the same (B, V, N, S) layout."""
-            d = dots.transpose(0, 2, 1, 3).reshape(B, n_rays, V * S)
+            """Token-grid logits (*tg) -> softmax jointly over both views'
+            samples, returned RAY-MAJOR (B, V, N, S)."""
+            if smaj:
+                d = dots.transpose(0, 3, 1, 2).reshape(B, n_rays, V * S)
+            else:
+                d = dots.transpose(0, 2, 1, 3).reshape(B, n_rays, V * S)
             w = jax.nn.softmax(d, axis=-1)
             return w.reshape(B, n_rays, V, S).transpose(0, 2, 1, 3)
 
-        dot1 = jnp.sum(kv_bv.astype(jnp.float32) * ce, axis=-1) / 11.31     # (B, V, N, S)
+        if use_attn_kernels:
+            # fused round-1 chain: kpre add + key_map_2 + query embeds +
+            # dot, one VMEM pass per token block (ce cached for round 2)
+            from coponerf_tpu.ops.pallas.attn_embed import round1_logits, round2_logits
+
+            dots1 = round1_logits(
+                ka, kb, lc_tok.astype(jnp.float32), fk_bias,
+                self.key_map_2.kernel, self.key_map_2.bias,
+                self.query_embed.kernel, self.query_embed.bias,
+                self.query_embed_2.kernel, self.query_embed_2.bias,
+            )
+            dot1 = dots1.reshape(*tg)
+        else:
+            coords_embed = self.query_embed_2(nn.relu(self.query_embed(lc_tok)))
+            ce = coords_embed.reshape(*tg, -1)
+            dot1 = jnp.sum(kv_bv.astype(jnp.float32) * ce, axis=-1) / 11.31  # (*tg)
         at_wt_bv = joint_softmax_bv(dot1)                                  # (B, V, N, S)
         at_wt = at_wt_bv.reshape(B * V, n_rays, S)                         # round-1 weights
 
@@ -426,18 +501,35 @@ class CoPoNeRF(nn.Module):
 
         if cfg.repeat_attention:
             z_embed = self.encode_latent(z_sum)                            # (B, N, 128)
-            ze = jnp.broadcast_to(
-                z_embed[:, :, None, :], (B, n_rays, S, z_embed.shape[-1])
-            )
-            lc = local_coords.reshape(B, V, n_rays, S, -1)
-            ze_bv = jnp.broadcast_to(ze[:, None], (B, V) + ze.shape[1:])
-            dot2 = jnp.sum(
-                self.query_repeat_embed_2(
-                    nn.relu(self.query_repeat_embed([ze_bv, lc]))
+            hid = self.cfg.hidden_dim
+            if use_attn_kernels:
+                # fused round-2 chain; ze stays per-ray (broadcast over V
+                # and S happens via the kernel's block index map)
+                rk = self.query_repeat_embed.kernel
+                dots2 = round2_logits(
+                    z_embed, lc_tok.astype(jnp.float32),
+                    self.query_embed.kernel, self.query_embed.bias,
+                    self.query_embed_2.kernel, self.query_embed_2.bias,
+                    rk[:hid], rk[hid:], self.query_repeat_embed.bias,
+                    self.query_repeat_embed_2.kernel, self.query_repeat_embed_2.bias,
+                    S=S, V=V,
                 )
-                * ce,
-                axis=-1,
-            ) / 11.31                                                      # (B, V, N, S)
+                dot2 = dots2.reshape(*tg)
+            else:
+                C_ze = z_embed.shape[-1]
+                if smaj:
+                    ze = jnp.broadcast_to(z_embed[:, None, :, :], (B, S, n_rays, C_ze))
+                else:
+                    ze = jnp.broadcast_to(z_embed[:, :, None, :], (B, n_rays, S, C_ze))
+                lc = lc_tok.reshape(*tg, -1)
+                ze_bv = jnp.broadcast_to(ze[:, None], (B, V) + ze.shape[1:])
+                dot2 = jnp.sum(
+                    self.query_repeat_embed_2(
+                        nn.relu(self.query_repeat_embed(jnp.concatenate([ze_bv, lc], axis=-1)))
+                    )
+                    * ce,
+                    axis=-1,
+                ) / 11.31                                                  # (*tg)
             at_wt2_bv = joint_softmax_bv(dot2)
             # per-view partial2 + the (already view-summed) z_sum per slot,
             # then view-summed again: sum_v(partial2_v) + V * z_sum — exactly

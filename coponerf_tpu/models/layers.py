@@ -73,10 +73,12 @@ class RawDense(nn.Module):
     """Drop-in for Dense (identical param path ``<name>/Dense_0/{kernel,bias}``
     and init distributions) whose kernel/bias are directly readable via
     ``.kernel``/``.bias`` — required by the render path's algebraic folding
-    (latent_value/key_map deferred through query_encode_latent_2)."""
+    (latent_value/key_map deferred through query_encode_latent_2).  Optional
+    ``dtype`` matches Dense's compute-dtype semantics (params stay f32)."""
 
     features: int
     in_features: int
+    dtype: Optional[Any] = None
 
     def setup(self):
         self.core = _RawDenseCore(self.features, self.in_features, name="Dense_0")
@@ -91,6 +93,11 @@ class RawDense(nn.Module):
 
     def __call__(self, x):
         assert x.shape[-1] == self.in_features, (x.shape, self.in_features)
+        if self.dtype is not None:
+            return (
+                x.astype(self.dtype) @ self.core.kernel.astype(self.dtype)
+                + self.core.bias.astype(self.dtype)
+            )
         return x @ self.core.kernel + self.core.bias
 
 

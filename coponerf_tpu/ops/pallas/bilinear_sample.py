@@ -70,6 +70,210 @@ def _kernel_xy(xy_ref, table_ref, out_ref, *, block_p, block_hw, w_img, zeros_mo
         out_ref[0] = (out_ref[0].astype(jnp.float32) + part).astype(out_ref.dtype)
 
 
+def _kernel_xy_banded(band_ref, xy_ref, table_ref, out_ref, *, block_p, block_hw, w_img, zeros_mode):
+    """Band-sparse xy kernel: h-chunks outside the point block's row band
+    contribute nothing and their compute is skipped (the table index map
+    clamps into the band, so the repeated block fetch is a revisit — no DMA).
+
+    Pays off when tokens are SAMPLE-MAJOR (fixed epipolar sample index,
+    consecutive rays): the block's points are then image-adjacent and the
+    band covers a few percent of the table (measured: <=3.5% at 64^2),
+    cutting the VPU selection build and the MXU matmul by the same factor —
+    measured 3x on the 64^2 level.  NOT suitable for 256^2 grids: even
+    skipped grid steps cost ~1.6 us (measured: 131k steps = ~200 ms/call),
+    and an in-kernel dynamic band walk with manual chunk DMA (tried) pays
+    per-block DMA latency serially — the patch gather wins there."""
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    h = pl.program_id(2)
+    lo = band_ref[b, 0, p]
+    hi = band_ref[b, 1, p]
+
+    @pl.when(h == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    @pl.when((h >= lo) & (h <= hi))
+    def _():
+        x = xy_ref[0, 0, :]
+        y = xy_ref[0, 1, :]
+        x0f = jnp.floor(x)
+        y0f = jnp.floor(y)
+        wx = x - x0f
+        wy = y - y0f
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (block_hw, block_p), 0) + h * block_hw
+        mt = jnp.zeros((block_hw, block_p), jnp.float32)
+        for a in (0, 1):
+            for c in (0, 1):
+                wc = (wx if c else 1.0 - wx) * (wy if a else 1.0 - wy)
+                xi = x0 + c
+                yi = y0 + a
+                idx = yi * w_img + xi
+                if zeros_mode:
+                    idx = jnp.where((xi >= 0) & (xi < w_img) & (yi >= 0), idx, -1)
+                mt = mt + jnp.where(ids == idx[None, :], wc[None, :], 0.0)
+        part = jax.lax.dot_general(
+            mt.astype(jnp.bfloat16), table_ref[0].astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0] = (out_ref[0].astype(jnp.float32) + part).astype(out_ref.dtype)
+
+
+def _row_bands(y, h_img: int, w_img: int, block_p: int, block_hw: int, n_hw: int):
+    """Per point-block h-chunk range [lo, hi] from the y coords: all bilinear
+    corners of the block lie in rows [floor(min y), floor(max y)+1], i.e.
+    flat ids [rmin*W, (rmax+1)*W - 1].  (B, P) -> (B, P/block_p, 2) int32."""
+    B, P = y.shape
+    yc = jnp.clip(y, 0.0, h_img - 1.0)
+    yb = yc.reshape(B, P // block_p, block_p)
+    rmin = jnp.floor(yb.min(axis=-1)).astype(jnp.int32)
+    rmax = jnp.floor(yb.max(axis=-1)).astype(jnp.int32) + 1
+    lo = (rmin * w_img) // block_hw
+    hi = jnp.minimum((rmax * w_img + w_img - 1) // block_hw, n_hw - 1)
+    # stack on axis 1 (NOT -1): SMEM pads the minor axis to 128, so a
+    # (B, NP, 2) layout would inflate 64x (observed: 2 MB > the 1 MB SMEM cap)
+    return jnp.stack([lo, hi], axis=1)
+
+
+def _kernel_xy_window(band_ref, xy_ref, table_ref, out_ref, win_vmem, dma_sem, *, block_p, win_rows, sub, w_img, zeros_mode):
+    """Large-grid band sampler: per 2048-point block, DMA ONE window of
+    ``win_rows`` table rows anchored at the block's first band row (dynamic
+    fori_loop over extra windows for wide bands) and one-hot-accumulate in
+    ``sub``-cell tiles.  One bulk DMA per block (overlapped with the first
+    selection-tile build) fixes the two failure modes measured at 256^2:
+    per-h grid steps (~1.6 us even when skipped; 131k steps = 200 ms/call)
+    and per-chunk serial DMA latency with small blocks.  The table's rows
+    are pre-padded by one window of zeros so the last window never reads
+    out of bounds; zeros-mode corner ids landing in the pad read zeros
+    (their true value)."""
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    row0 = band_ref[b, 0, p]
+    n_win = band_ref[b, 1, p]
+    x = xy_ref[0, 0, :]
+    y = xy_ref[0, 1, :]
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    corners = []
+    for a in (0, 1):
+        for c in (0, 1):
+            wc = (wx if c else 1.0 - wx) * (wy if a else 1.0 - wy)
+            xi = x0 + c
+            yi = y0 + a
+            idx = yi * w_img + xi
+            if zeros_mode:
+                idx = jnp.where((xi >= 0) & (xi < w_img) & (yi >= 0), idx, -1)
+            corners.append((idx, wc))
+    win_cells = win_rows * w_img
+    n_sub = win_cells // sub
+    base_ids = jax.lax.broadcasted_iota(jnp.int32, (sub, block_p), 0)
+    Cp = win_vmem.shape[-1]
+
+    def wbody(w, acc):
+        start = (row0 + w * win_rows) * w_img
+        cp = pltpu.make_async_copy(
+            table_ref.at[b, pl.ds(start, win_cells), :], win_vmem, dma_sem
+        )
+        cp.start()
+        for si in range(n_sub):
+            ids = base_ids + start + si * sub
+            mt = jnp.zeros((sub, block_p), jnp.float32)
+            for idx, wc in corners:
+                mt = mt + jnp.where(ids == idx[None, :], wc[None, :], 0.0)
+            if si == 0:
+                cp.wait()
+            acc = acc + jax.lax.dot_general(
+                mt.astype(jnp.bfloat16), win_vmem[si * sub:(si + 1) * sub, :].astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return acc
+
+    acc = jax.lax.fori_loop(0, n_win, wbody, jnp.zeros((block_p, Cp), jnp.float32))
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _row_windows(y, h_img: int, w_img: int, block_p: int, win_rows: int):
+    """Per point-block (first band row, window count): corners lie in rows
+    [floor(min y), floor(max y)+1].  (B, P) -> (B, 2, P/block_p) int32."""
+    B, P = y.shape
+    yc = jnp.clip(y, 0.0, h_img - 1.0)
+    yb = yc.reshape(B, P // block_p, block_p)
+    rmin = jnp.floor(yb.min(axis=-1)).astype(jnp.int32)
+    rmax = jnp.floor(yb.max(axis=-1)).astype(jnp.int32) + 1
+    n_win = (rmax - rmin) // win_rows + 1
+    return jnp.stack([rmin, n_win], axis=1)
+
+
+def onehot_window_sample_xy(
+    table: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    w_img: int,
+    zeros_mode: bool,
+    block_p: int = 2048,
+    win_rows: int = 16,
+    sub: int = 512,
+    out_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Banded one-hot sampling for LARGE grids (e.g. 256^2) with sample-major
+    points.  table: (B, HW, C); x, y: (B, P) pixel coords (same pre-clamping
+    contract as onehot_matmul_sample_xy).  Returns (B, P, C)."""
+    B, HW, C = table.shape
+    h_img = HW // w_img
+    P = x.shape[1]
+    pad = (-P) % block_p
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-10.0)
+        y = jnp.pad(y, ((0, 0), (0, pad)), constant_values=-10.0)
+    Pp = P + pad
+    xy = jnp.stack([x, y], axis=1)
+    win_cells = win_rows * w_img
+    assert win_cells % sub == 0, (win_cells, sub)
+    cpad = (-C) % 128
+    # row pad: the last window may extend past the image; C pad: the bulk
+    # DMA needs a 128-aligned lane dim
+    table = jnp.pad(table.astype(jnp.bfloat16), ((0, 0), (0, win_cells), (0, cpad)))
+    Cp = C + cpad
+    band = _row_windows(y, h_img, w_img, block_p, win_rows)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Pp // block_p),
+        in_specs=[
+            pl.BlockSpec((1, 2, block_p), lambda b, p, band: (b, 0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # table stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_p, Cp), lambda b, p, band: (b, p, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((win_cells, Cp), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_xy_window, block_p=block_p, win_rows=win_rows, sub=sub,
+            w_img=w_img, zeros_mode=zeros_mode,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Pp, Cp), out_dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(band, xy, table)
+    return out[:, :P, :C]
+
+
 def onehot_matmul_sample_xy(
     table: jnp.ndarray,
     x: jnp.ndarray,
@@ -79,10 +283,14 @@ def onehot_matmul_sample_xy(
     block_p: int = 512,
     block_hw: int = 2048,
     out_dtype=jnp.float32,
+    banded: bool = False,
 ) -> jnp.ndarray:
     """table: (B, HW, C); x, y: (B, P) f32 UNNORMALIZED pixel coords already
     clamped (border) or NaN-scrubbed with out-of-range markers (zeros).
-    Returns (B, P, C)."""
+    Returns (B, P, C).
+
+    banded=True skips h-chunks outside each point block's image-row band —
+    use with SAMPLE-MAJOR token order (see _kernel_xy_banded)."""
     B, HW, C = table.shape
     P = x.shape[1]
     block_hw = min(block_hw, HW)
@@ -94,8 +302,43 @@ def onehot_matmul_sample_xy(
         y = jnp.pad(y, ((0, 0), (0, pad)), constant_values=-10.0)
     Pp = P + pad
     xy = jnp.stack([x, y], axis=1)                    # (B, 2, Pp)
-    grid = (B, Pp // block_p, HW // block_hw)
+    n_hw = HW // block_hw
+    grid = (B, Pp // block_p, n_hw)
     interpret = jax.default_backend() not in ("tpu", "axon")
+    if banded and n_hw > 1:
+        h_img = HW // w_img
+        band = _row_bands(y, h_img, w_img, block_p, block_hw, n_hw)
+        # out-of-band grid steps clamp the table chunk index into the band:
+        # the repeated block index is a revisit (no DMA), so skipped steps
+        # cost neither compute nor table bandwidth
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 2, block_p), lambda b, p, h, band: (b, 0, p), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, block_hw, C),
+                    lambda b, p, h, band: (b, jnp.clip(h, band[b, 0, p], band[b, 1, p]), 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_p, C), lambda b, p, h, band: (b, p, 0), memory_space=pltpu.VMEM
+            ),
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel_xy_banded, block_p=block_p, block_hw=block_hw,
+                w_img=w_img, zeros_mode=zeros_mode,
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, Pp, C), out_dtype),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(band, xy, table)
+        return out[:, :P]
     out = pl.pallas_call(
         functools.partial(
             _kernel_xy, block_p=block_p, block_hw=block_hw, w_img=w_img,
@@ -116,6 +359,25 @@ def onehot_matmul_sample_xy(
         interpret=interpret,
     )(xy, table)
     return out[:, :P]
+
+
+def grid_sample_onehot_window(image: jnp.ndarray, grid, padding_mode: str = "zeros", align_corners: bool = False, out_dtype=jnp.float32, block_p: int = 2048, win_rows: int = 16) -> jnp.ndarray:
+    """Large-grid drop-in for grid_sample_onehot using the windowed band
+    kernel (sample-major points; forward-only — the eval fast path)."""
+    B, H, W, C = image.shape
+    batch_shape = grid.shape[:-1]
+    x, y = _pixel_coords(grid, H, W, padding_mode, align_corners)
+    out = onehot_window_sample_xy(
+        image.reshape(B, H * W, C),
+        jax.lax.stop_gradient(x),
+        jax.lax.stop_gradient(y),
+        W,
+        padding_mode != "border",
+        block_p=block_p,
+        win_rows=win_rows,
+        out_dtype=out_dtype,
+    )
+    return out.reshape(*batch_shape, C)
 
 
 def _pixel_coords(grid, H: int, W: int, padding_mode: str, align_corners: bool = False):
@@ -178,8 +440,8 @@ def _kernel_banded(band_ref, idx_ref, w_ref, table_ref, out_ref, *, block_p, blo
     b = pl.program_id(0)
     p = pl.program_id(1)
     h = pl.program_id(2)
-    lo = band_ref[b, p, 0]
-    hi = band_ref[b, p, 1]
+    lo = band_ref[b, 0, p]
+    hi = band_ref[b, 1, p]
 
     @pl.when(h == 0)
     def _():
@@ -364,19 +626,19 @@ def _corners_from_pixel_xy(x, y, w_img: int, zeros_mode: bool):
     return jnp.stack(idxs, axis=-1), jnp.stack(ws, axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def onehot_sample_xy_diff(table, x, y, w_img, zeros_mode, out_dtype):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def onehot_sample_xy_diff(table, x, y, w_img, zeros_mode, out_dtype, banded=False, block_hw=2048, block_p=512):
     """Differentiable xy-input one-hot sampling (gradient to table only)."""
-    return onehot_matmul_sample_xy(table, x, y, w_img, zeros_mode, out_dtype=out_dtype)
+    return onehot_matmul_sample_xy(table, x, y, w_img, zeros_mode, out_dtype=out_dtype, banded=banded, block_hw=block_hw, block_p=block_p)
 
 
-def _onehot_xy_fwd(table, x, y, w_img, zeros_mode, out_dtype):
-    out = onehot_matmul_sample_xy(table, x, y, w_img, zeros_mode, out_dtype=out_dtype)
+def _onehot_xy_fwd(table, x, y, w_img, zeros_mode, out_dtype, banded, block_hw, block_p):
+    out = onehot_matmul_sample_xy(table, x, y, w_img, zeros_mode, out_dtype=out_dtype, banded=banded, block_hw=block_hw, block_p=block_p)
     carrier = jnp.zeros((table.shape[1], 0), table.dtype)
     return out, (x, y, carrier)
 
 
-def _onehot_xy_bwd(w_img, zeros_mode, out_dtype, res, g):
+def _onehot_xy_bwd(w_img, zeros_mode, out_dtype, banded, block_hw, block_p, res, g):
     x, y, carrier = res
     idx, w = _corners_from_pixel_xy(x, y, w_img, zeros_mode)
     dtable = onehot_transpose_matmul(
@@ -495,12 +757,16 @@ def _gs_tg_bwd(padding_mode, res, g):
 grid_sample_tablegrad.defvjp(_gs_tg_fwd, _gs_tg_bwd)
 
 
-def grid_sample_onehot(image: jnp.ndarray, grid, padding_mode: str = "zeros", align_corners: bool = False, out_dtype=jnp.float32, block_hw: int = 2048) -> jnp.ndarray:
+def grid_sample_onehot(image: jnp.ndarray, grid, padding_mode: str = "zeros", align_corners: bool = False, out_dtype=jnp.float32, block_hw: int = 2048, banded: bool = False, block_p: int = 512) -> jnp.ndarray:
     """Drop-in fast variant of ops.grid_sample for small feature grids
-    (HW <= ~4096).  image: (B, H, W, C) -> (B, ..., C)."""
+    (HW <= ~4096; with banded=True and sample-major points, any size).
+    image: (B, H, W, C) -> (B, ..., C)."""
     B, H, W, C = image.shape
     batch_shape = grid.shape[:-1]
     x, y = _pixel_coords(grid, H, W, padding_mode, align_corners)
+    # the kernel matmul runs bf16 anyway; pre-casting halves the table DMA
+    if image.dtype == jnp.float32:
+        image = image.astype(jnp.bfloat16)
     out = onehot_sample_xy_diff(
         image.reshape(B, H * W, C),
         jax.lax.stop_gradient(x),
@@ -508,5 +774,8 @@ def grid_sample_onehot(image: jnp.ndarray, grid, padding_mode: str = "zeros", al
         W,
         padding_mode != "border",
         out_dtype,
+        banded,
+        block_hw,
+        block_p,
     )
     return out.reshape(*batch_shape, C)

@@ -43,7 +43,7 @@ def _kernel(p0, p1, p2, pc, pt, w0, w1, w2, wc, wt, b, fk, out_ref, k_ref, *, re
     k_ref[0] = jnp.dot(out, fk[:], preferred_element_type=jnp.float32).astype(k_ref.dtype)
 
 
-def _forward(parts, kernel, bias, fk, out_dtype, relu, block_t=None):
+def _forward(parts, kernel, bias, fk, out_dtype, relu, block_t=None, swap_k_pairs=False):
     p0, p1, p2, pc, pt = parts
     B, T, _ = p0.shape
     if block_t is None:
@@ -92,7 +92,16 @@ def _forward(parts, kernel, bias, fk, out_dtype, relu, block_t=None):
         ],
         out_specs=(
             pl.BlockSpec((1, block_t, N), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_t, NK), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            # optionally write the key head into the PAIRED view row
+            # (b0 <-> b1 within each view pair): the renderer's slot-b keys
+            # enter the joint chain view-flipped, and flipping here saves a
+            # 536 MB reverse+copy per chunk (trace-verified ~13 ms/image)
+            pl.BlockSpec(
+                (1, block_t, NK),
+                (lambda b, t: (b // 2 * 2 + 1 - b % 2, t, 0))
+                if swap_k_pairs else (lambda b, t: (b, t, 0)),
+                memory_space=pltpu.VMEM,
+            ),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -102,25 +111,29 @@ def _forward(parts, kernel, bias, fk, out_dtype, relu, block_t=None):
     return out[:, :T], k[:, :T]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def split_dense_relu(parts, kernel, bias, fk, out_dtype=jnp.bfloat16, relu=True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def split_dense_relu(parts, kernel, bias, fk, out_dtype=jnp.bfloat16, relu=True, swap_k_pairs=False):
     """Fused: out = relu(concat(parts, -1) @ kernel + bias); k = out @ fk —
     without materializing the concat, and with the second (128-wide folded
     key) head computed while ``out`` is still in VMEM.  parts: 5 tensors
     (B, T, K_i) in the compute dtype; kernel (sum K_i, N), bias (N,), fk
     (N, NK) may be f32 (cast to the part dtype inside).  Returns
-    (out (B, T, N), k (B, T, NK)) in ``out_dtype``."""
-    return _forward(tuple(parts), kernel, bias, fk, out_dtype, relu)
+    (out (B, T, N), k (B, T, NK)) in ``out_dtype``; with swap_k_pairs the
+    k rows are written view-pair-swapped (row 2i <-> 2i+1)."""
+    return _forward(tuple(parts), kernel, bias, fk, out_dtype, relu, swap_k_pairs=swap_k_pairs)
 
 
-def _fwd(parts, kernel, bias, fk, out_dtype, relu):
-    out, k = _forward(tuple(parts), kernel, bias, fk, out_dtype, relu)
+def _fwd(parts, kernel, bias, fk, out_dtype, relu, swap_k_pairs):
+    out, k = _forward(tuple(parts), kernel, bias, fk, out_dtype, relu, swap_k_pairs=swap_k_pairs)
     return (out, k), (tuple(parts), kernel, fk, bias, out)
 
 
-def _bwd(out_dtype, relu, res, gs):
+def _bwd(out_dtype, relu, swap_k_pairs, res, gs):
     parts, kernel, fk, bias, out = res
     g_out, g_k = gs
+    if swap_k_pairs:
+        R = g_k.shape[0]
+        g_k = g_k.reshape(R // 2, 2, *g_k.shape[1:])[:, ::-1].reshape(g_k.shape)
     g_k = g_k.astype(jnp.float32)
     out_f = out.astype(jnp.float32)
     # k = out @ fk: route the key cotangent into out's, and accumulate dfk

@@ -95,3 +95,22 @@ def test_train_step_descends_on_mesh():
     assert float(metrics["grad_norm"]) > 0.0
     p1 = np.asarray(jax.device_get(state.params["phi"]["lin_out"]["Dense_0"]["kernel"]))
     assert np.abs(p1 - p0).max() > 0.0  # optimizer actually applied updates
+
+
+def test_fast_render_matches_exact(tiny_setup):
+    """The throughput path (bf16 + banded sample-major one-hot sampling)
+    matches the exact f32 path to bf16-level error, val + train modes."""
+    import dataclasses
+
+    cfg, model, batch, variables = tiny_setup
+    fast_model = CoPoNeRF(dataclasses.replace(
+        cfg, fast_sampling=True, compute_dtype="bfloat16"))
+    for val in (False, True):
+        out_e = model.apply(variables, batch, val=val, train=False)
+        out_f = fast_model.apply(variables, batch, val=val, train=False)
+        a, b = np.asarray(out_e["rgb"]), np.asarray(out_f["rgb"])
+        assert np.isfinite(b).all()
+        scale = np.abs(a).mean() + 1e-6
+        assert np.abs(a - b).mean() / scale < 2e-2, (val, np.abs(a - b).max())
+        wa = np.asarray(out_e["at_wt"]); wb = np.asarray(out_f["at_wt"])
+        assert np.abs(wa - wb).mean() < 2e-2

@@ -27,6 +27,27 @@ def test_onehot_sampling_matches_exact_gather(mode):
     assert np.abs(got - ref).mean() / scale < 5e-3
 
 
+@pytest.mark.parametrize("mode", ["border", "zeros"])
+def test_banded_onehot_matches_exact_gather(mode):
+    """Band-sparse kernel (multi-chunk grid, clamped table index map) vs the
+    exact gather, including far out-of-band and out-of-image points."""
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.rand(2, 64, 64, 32).astype(np.float32))
+    # sample-major-style points: coherent rows plus scattered outliers
+    base = rng.rand(2, 1024, 2).astype(np.float32) * 0.2 - 0.9
+    base[:, 512:] = rng.rand(2, 512, 2) * 2.4 - 1.2   # spread, some OOB
+    if mode == "zeros":
+        base[0, 0] = [np.nan, 1e8]
+    pts = jnp.asarray(base.reshape(2, 64, 16, 2))
+    ref = np.asarray(grid_sample(img, pts, padding_mode=mode))
+    got = np.asarray(
+        grid_sample_onehot(img, pts, padding_mode=mode, banded=True, block_hw=512)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-2)
+    scale = np.abs(ref).mean() + 1e-6
+    assert np.abs(got - ref).mean() / scale < 5e-3
+
+
 def test_onehot_sampling_gradient_matches_exact(monkeypatch):
     """Table-gradient of the one-hot kernel vs the exact gather path."""
     rng = np.random.RandomState(3)
@@ -46,3 +67,38 @@ def test_onehot_sampling_gradient_matches_exact(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(g_fast) / scale, np.asarray(g_exact) / scale, atol=2e-2
     )
+
+
+def test_weighted_sum_smaj_matches_einsum():
+    from coponerf_tpu.ops.pallas.weighted_sum import weighted_sum_smaj
+
+    rng = np.random.RandomState(5)
+    R, S, N, C = 2, 8, 48, 256   # N not a block multiple: exercises padding
+    pre = jnp.asarray(rng.randn(R, S * N, C).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.rand(R, N, S).astype(np.float32))
+    got = np.asarray(weighted_sum_smaj(pre, w, S))
+    ref = np.einsum("rns,rsnc->rnc", np.asarray(w),
+                    np.asarray(pre.astype(jnp.float32)).reshape(R, S, N, C))
+    np.testing.assert_allclose(got, ref, atol=1e-2, rtol=1e-2)
+
+
+@pytest.mark.parametrize("mode", ["border", "zeros"])
+def test_windowed_onehot_matches_exact_gather(mode):
+    """Windowed band kernel (large grid, bulk per-block window DMA) vs the
+    exact gather, including wide-band blocks and out-of-image points."""
+    from coponerf_tpu.ops.pallas.bilinear_sample import grid_sample_onehot_window
+
+    rng = np.random.RandomState(2)
+    img = jnp.asarray(rng.rand(2, 64, 64, 24).astype(np.float32))
+    base = rng.rand(2, 4096, 2).astype(np.float32) * 0.25 - 0.8
+    base[:, 2048:3072] = rng.rand(2, 1024, 2) * 2.4 - 1.2   # wide band + OOB
+    if mode == "zeros":
+        base[0, 0] = [np.nan, 1e8]
+        base[1, 5] = [-1e8, 0.0]
+    pts = jnp.asarray(base.reshape(2, 256, 16, 2))
+    ref = np.asarray(grid_sample(img, pts, padding_mode=mode))
+    got = np.asarray(grid_sample_onehot_window(
+        img, pts, padding_mode=mode, block_p=1024, win_rows=8))
+    np.testing.assert_allclose(got, ref, atol=2e-2)
+    scale = np.abs(ref).mean() + 1e-6
+    assert np.abs(got - ref).mean() / scale < 5e-3
