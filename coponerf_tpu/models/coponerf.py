@@ -113,7 +113,7 @@ class CoPoNeRF(nn.Module):
         self.query_embed_2 = RawDense(hid, in_features=hid, name="query_embed_2")
         self.query_repeat_embed = RawDense(hid, in_features=hid + 16, name="query_repeat_embed")
         self.query_repeat_embed_2 = RawDense(hid, in_features=hid, name="query_repeat_embed_2")
-        self.encode_latent = Dense(hid, name="encode_latent")
+        self.encode_latent = RawDense(hid, in_features=half, name="encode_latent")
         self.phi = ResnetFC(
             d_in=c.n_view * 9, d_out=3, n_blocks=3, d_latent=half * c.n_view,
             d_hidden=c.num_hidden_units_phi, name="phi",
@@ -392,32 +392,43 @@ class CoPoNeRF(nn.Module):
                 parts, w1_k, w1_b, fk, out_dtype=cd, relu=True, swap_k_pairs=swap_k
             )                                                              # (B*V, NS, 832|128)
 
-        # slot-a keys come from pre_p rows (r0, r2: chain of their own view);
-        # slot-b keys from pre_s rows, which sit in FLIPPED view order
-        # (row0 = r3 -> chain 1, row1 = r1 -> chain 0).  The folded key
-        # product rides out of the W1 kernel while the activation is in VMEM.
-        # (An in-kernel permuted k-row write was tried to skip the XLA flip:
-        # it cost far more than the 536 MB reverse it saved.)
-        pre_p, ka = pre_act(samples_p, pt_primary, fk_a)
-        pre_s, kb = pre_act(samples_s, pt_secondary, fk_b)
-
         # token-grid shape in the active order: (B, V, N, S) or (B, V, S, N)
         tg = (B, V, S, n_rays) if smaj else (B, V, n_rays, S)
+        _env = __import__("os").environ
+        # the post-sampling megakernel (ops/pallas/render_core.py) keeps the
+        # 832-wide pre-activations in VMEM end-to-end — measured SLOWER than
+        # the split kernels (83.4k vs 92.9k rays/s: its per-block serial
+        # chain pipelines worse); OPT-IN for further tuning
+        use_render_core = (
+            smaj and cfg.repeat_attention and n_rays % 8 == 0
+            and bool(int(_env.get("COPONERF_RENDER_CORE", "0")))
+        )
         # Fused attn-chain Pallas kernels are OPT-IN: measured 79.5k vs 89-91k
         # rays/s with the XLA chain (the 128-wide per-token matmul chain is
         # something XLA already schedules well; the kernels' narrow-row
         # logits outputs and per-(s,n) grids cost more than the fused chain
         # saves).  Kept for further tuning.
-        use_attn_kernels = smaj and bool(int(__import__("os").environ.get("COPONERF_ATTN_KERNELS", "0")))
-        if use_attn_kernels:
-            kb = kb.reshape(B, V, *kb.shape[1:])[:, ::-1].reshape(kb.shape)
-        if not use_attn_kernels:
-            kpre = (
-                ka.reshape(*tg, -1)
-                + kb.reshape(*tg, -1)[:, ::-1]
-                + fk_bias.astype(cd)
-            )
-            kv_bv = self.key_map_2(nn.relu(kpre))                          # (*tg, 128)
+        use_attn_kernels = (
+            smaj and not use_render_core
+            and bool(int(_env.get("COPONERF_ATTN_KERNELS", "0")))
+        )
+        if not use_render_core:
+            # slot-a keys come from pre_p rows (r0, r2: chain of their own
+            # view); slot-b keys from pre_s rows, which sit in FLIPPED view
+            # order (row0 = r3 -> chain 1, row1 = r1 -> chain 0).  The folded
+            # key product rides out of the W1 kernel while the activation is
+            # in VMEM.
+            pre_p, ka = pre_act(samples_p, pt_primary, fk_a)
+            pre_s, kb = pre_act(samples_s, pt_secondary, fk_b)
+            if use_attn_kernels:
+                kb = kb.reshape(B, V, *kb.shape[1:])[:, ::-1].reshape(kb.shape)
+            else:
+                kpre = (
+                    ka.reshape(*tg, -1)
+                    + kb.reshape(*tg, -1)[:, ::-1]
+                    + fk_bias.astype(cd)
+                )
+                kv_bv = self.key_map_2(nn.relu(kpre))                      # (*tg, 128)
 
         def weighted_latent(at_bv):
             """sum_{v,s} w[v,s] * latent_value([e_2v || e_2v+1]) with the
@@ -476,7 +487,28 @@ class CoPoNeRF(nn.Module):
             w = jax.nn.softmax(d, axis=-1)
             return w.reshape(B, n_rays, V, S).transpose(0, 2, 1, 3)
 
-        if use_attn_kernels:
+        if use_render_core:
+            from coponerf_tpu.ops.pallas.render_core import render_core
+
+            rk = self.query_repeat_embed.kernel
+            hid = cfg.hidden_dim
+            z_sum, at_b = render_core(
+                [s.astype(cd) for s in samples_p], pt_primary.astype(jnp.float32),
+                [s.astype(cd) for s in samples_s], pt_secondary.astype(jnp.float32),
+                lc_tok.astype(jnp.float32),
+                w1_k, w1_b, fk_a, fk_b, fk_bias,
+                self.key_map_2.kernel, self.key_map_2.bias,
+                self.query_embed.kernel, self.query_embed.bias,
+                self.query_embed_2.kernel, self.query_embed_2.bias,
+                rk[:hid], rk[hid:], self.query_repeat_embed.bias,
+                self.query_repeat_embed_2.kernel, self.query_repeat_embed_2.bias,
+                self.encode_latent.kernel, self.encode_latent.bias,
+                flv_a, flv_b, flv_bias,
+                S=S, V=V, n_rays=n_rays,
+            )
+            at_wt_bv = at_b.reshape(B, n_rays, V, S).transpose(0, 2, 1, 3)
+            at_wt = at_wt_bv.reshape(B * V, n_rays, S)
+        elif use_attn_kernels:
             # fused round-1 chain: kpre add + key_map_2 + query embeds +
             # dot, one VMEM pass per token block (ce cached for round 2)
             from coponerf_tpu.ops.pallas.attn_embed import round1_logits, round2_logits
@@ -492,14 +524,16 @@ class CoPoNeRF(nn.Module):
             coords_embed = self.query_embed_2(nn.relu(self.query_embed(lc_tok)))
             ce = coords_embed.reshape(*tg, -1)
             dot1 = jnp.sum(kv_bv.astype(jnp.float32) * ce, axis=-1) / 11.31  # (*tg)
-        at_wt_bv = joint_softmax_bv(dot1)                                  # (B, V, N, S)
-        at_wt = at_wt_bv.reshape(B * V, n_rays, S)                         # round-1 weights
+        if not use_render_core:
+            at_wt_bv = joint_softmax_bv(dot1)                              # (B, V, N, S)
+            at_wt = at_wt_bv.reshape(B * V, n_rays, S)                     # round-1 weights
 
-        # view-summed attended latent (the reference broadcasts this back to
-        # both view slots, CoPoNeRF.py:455-461; both slots hold the same sum)
-        z_sum = weighted_latent(at_wt_bv)                                  # (B, N, 416)
+            # view-summed attended latent (the reference broadcasts this back
+            # to both view slots, CoPoNeRF.py:455-461; both slots hold the
+            # same sum)
+            z_sum = weighted_latent(at_wt_bv)                              # (B, N, 416)
 
-        if cfg.repeat_attention:
+        if cfg.repeat_attention and not use_render_core:
             z_embed = self.encode_latent(z_sum)                            # (B, N, 128)
             hid = self.cfg.hidden_dim
             if use_attn_kernels:

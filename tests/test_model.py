@@ -114,3 +114,23 @@ def test_fast_render_matches_exact(tiny_setup):
         assert np.abs(a - b).mean() / scale < 2e-2, (val, np.abs(a - b).max())
         wa = np.asarray(out_e["at_wt"]); wb = np.asarray(out_f["at_wt"])
         assert np.abs(wa - wb).mean() < 2e-2
+
+
+def test_optin_render_kernels_match_exact(tiny_setup, monkeypatch):
+    """The opt-in fused render paths (attn-chain kernels; post-sampling
+    megakernel) stay numerically correct even though the default fast path
+    doesn't use them (both measured slower on v5e — see PERF.md)."""
+    import dataclasses
+
+    cfg, model, batch, variables = tiny_setup
+    fast_model = CoPoNeRF(dataclasses.replace(
+        cfg, fast_sampling=True, compute_dtype="bfloat16"))
+    out_e = model.apply(variables, batch, val=True, train=False)
+    for env in ("COPONERF_ATTN_KERNELS", "COPONERF_RENDER_CORE"):
+        monkeypatch.setenv(env, "1")
+        out_f = fast_model.apply(variables, batch, val=True, train=False)
+        monkeypatch.delenv(env)
+        a, b = np.asarray(out_e["rgb"]), np.asarray(out_f["rgb"])
+        assert np.isfinite(b).all(), env
+        scale = np.abs(a).mean() + 1e-6
+        assert np.abs(a - b).mean() / scale < 2e-2, (env, np.abs(a - b).max())
