@@ -276,7 +276,7 @@ class CoPoNeRF(nn.Module):
                     # only ~4 image rows of rays
                     return grid_sample_onehot(
                         z, p, padding_mode=mode, out_dtype=jnp.bfloat16,
-                        banded=True, block_hw=max(256, hw // 4), block_p=1024,
+                        banded=True, block_hw=max(256, hw // 4), block_p=2048,
                     )
                 # 256^2 stays the bf16 patch gather: it runs at the gather
                 # engine's ~11 ns/index rate, and BOTH banded one-hot
