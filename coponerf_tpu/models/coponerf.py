@@ -259,6 +259,7 @@ class CoPoNeRF(nn.Module):
                 t = t.transpose(0, 2, 1, 3)
             return t.reshape(t.shape[0], n_rays * S, -1)
 
+        _env0 = __import__("os").environ
         if cfg.fast_sampling:
             def sample(z, p, mode):
                 # banded one-hot for the <=64^2 levels under sample-major
@@ -293,9 +294,26 @@ class CoPoNeRF(nn.Module):
         # the row-major (rows, tokens, C) layout end-to-end — reshaping to
         # (..., N, S, C) before the matmuls costs ~130 ms/image in pure
         # relayout copies (trace-verified)
+        if smaj and bool(int(_env0.get("COPONERF_ML_SAMPLER", "0"))):
+            # fused 3-level resident-table sampler: measured 87.3k (sub=512)
+            # / 83.3k (sub=1024) vs 93.9k rays/s with separate banded
+            # kernels — the per-block serial level loop pipelines worse
+            # than independent grid-parallel kernels.  OPT-IN.
+            from coponerf_tpu.ops.pallas.multilevel_sample import multilevel_banded_sample
+
+            def sample_all(p, mode):
+                small = multilevel_banded_sample(
+                    list(state.z[:3]), p, mode, out_dtype=jnp.bfloat16
+                )
+                conv = grid_sample_tablegrad(state.z[3].astype(jnp.bfloat16), p, mode)
+                return small + [conv]
+        else:
+            def sample_all(p, mode):
+                return [sample(z, p, mode) for z in state.z]
+
         NS = n_rays * S
         pv_flat = tokf(pixel_val)
-        samples_p = [sample(z, pv_flat, "border") for z in state.z]
+        samples_p = sample_all(pv_flat, "border")
 
         # 3D point on the query ray nearest to each epipolar sample
         ctx_flat_c2w = context_cam2world.reshape(B * V, 4, 4)
@@ -334,7 +352,7 @@ class CoPoNeRF(nn.Module):
 
         # secondary (cross-view reprojected) features, zeros padding
         px_stack = tokf(jnp.stack([px_v1_c2, px_v2_c1], axis=1).reshape(B * V, n_rays, S, 2))
-        samples_s = [sample(z, px_stack, "zeros") for z in state.z]
+        samples_s = sample_all(px_stack, "zeros")
 
         scrub = lambda x: jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
         pt_v1_c1 = jax.lax.stop_gradient(scrub(pt_v1_c1))

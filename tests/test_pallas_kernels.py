@@ -102,3 +102,25 @@ def test_windowed_onehot_matches_exact_gather(mode):
     np.testing.assert_allclose(got, ref, atol=2e-2)
     scale = np.abs(ref).mean() + 1e-6
     assert np.abs(got - ref).mean() / scale < 5e-3
+
+
+@pytest.mark.parametrize("mode", ["border", "zeros"])
+def test_multilevel_banded_sample_matches_exact(mode):
+    """Fused 3-level resident-table sampler vs per-level exact gathers."""
+    from coponerf_tpu.ops.pallas.multilevel_sample import multilevel_banded_sample
+
+    rng = np.random.RandomState(4)
+    tables = [jnp.asarray(rng.rand(2, s, s, 32).astype(np.float32))
+              for s in (16, 32, 64)]
+    base = rng.rand(2, 4096, 2).astype(np.float32) * 0.3 - 0.85
+    base[:, 1024:2048] = rng.rand(2, 1024, 2) * 2.4 - 1.2
+    if mode == "zeros":
+        base[0, 0] = [np.nan, 1e8]
+    pts = jnp.asarray(base)
+    outs = multilevel_banded_sample(tables, pts, mode, block_p=1024, sub=256)
+    for t, got in zip(tables, outs):
+        ref = np.asarray(grid_sample(t, pts.reshape(2, 64, 64, 2), padding_mode=mode))
+        np.testing.assert_allclose(
+            np.asarray(got).reshape(ref.shape), ref, atol=2e-2)
+        scale = np.abs(ref).mean() + 1e-6
+        assert np.abs(np.asarray(got).reshape(ref.shape) - ref).mean() / scale < 5e-3
