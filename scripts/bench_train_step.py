@@ -2,6 +2,9 @@
 per-chip slice of BASELINE config 4 (global batch 48 on v5e-8 => 6/chip,
 256^2 pairs, 192 query rays, pose+cycle+ssim losses), plus encode-only time.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 import sys
 import time

@@ -1,6 +1,9 @@
 """Capture a jax.profiler trace of the benchmark render path (one full
 256^2 image in CHUNK-ray chunks, fast config) and print the per-op summary
 via xplane_summary.  Usage: python scripts/trace_render.py [outdir]"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 import sys
 
