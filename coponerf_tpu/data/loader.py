@@ -123,8 +123,13 @@ class PrefetchLoader:
         if self.num_workers <= 0:
             yield from self._serial_iter()
             return
-        if not self._procs:
-            self._start()
+        if self._procs:
+            # a previous iteration was abandoned mid-stream: its workers and
+            # undrained result queue would leak stale batches (wrong
+            # epoch/shuffle mix) into this iteration — restart the pool with
+            # fresh queues instead
+            self.close()
+        self._start()
         rng = np.random.RandomState(self.seed)
         epoch = 0
         task_id = 0

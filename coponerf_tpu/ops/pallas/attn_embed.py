@@ -12,8 +12,8 @@ The two attention rounds (reference CoPoNeRF.py:450-485) hang five small
 Each 128-wide intermediate on the ~2M tokens of a 16k-ray chunk is a 536 MB
 HBM round trip, and XLA's op-by-op execution of the chain costs ~90 ms/image
 against a ~2 ms matmul bound (trace-verified).  These kernels run the whole
-chain per token block in VMEM, emitting only the per-token logits (plus a
-cached ce for round 2).
+chain per token block in VMEM, emitting only the per-token logits (round 2
+recomputes ce in-kernel rather than caching it through HBM).
 
 Blocks span the FULL (small) row axis R = B*V and flatten rows into the
 matmul token dim — per-row blocks of width 1 violate the TPU (8, 128) block
@@ -56,8 +56,8 @@ def _round1_kernel(ka, kbs, lc, fkb, wk2, bk2, wq, bq, wq2, bq2, dots_ref, *, R,
 
 def round1_logits(ka, kbs, lc, fk_bias, wk2, bk2, wq, bq, wq2, bq2, block_t: int = 2048):
     """ka, kbs: (R, T, 128) folded key products (kbs already view-swapped);
-    lc: (R, T, 16) local coords.  Returns (dots (R, T) f32, ce (R, T, 128)
-    bf16)."""
+    lc: (R, T, 16) local coords.  Returns dots (R, T) f32 only; round 2
+    recomputes ce in-kernel."""
     R, T, H = ka.shape
     L = lc.shape[-1]
     pad = (-T) % block_t

@@ -436,7 +436,7 @@ def _kernel_banded(band_ref, idx_ref, w_ref, table_ref, out_ref, *, block_p, blo
     """Band-sparse variant: epipolar samples are ray-coherent, so each point
     block touches a narrow band of table rows.  HW chunks outside the block's
     [lo, hi] chunk range are skipped entirely (their one-hot block is zero).
-    band_ref is a scalar-prefetch array (B, NP, 2) of chunk ranges."""
+    band_ref is a scalar-prefetch array (B, 2, NP): row 0 = lo, row 1 = hi."""
     b = pl.program_id(0)
     p = pl.program_id(1)
     h = pl.program_id(2)
@@ -503,9 +503,10 @@ def onehot_matmul_sample(
         # per-block chunk range from the corner ids (points are ray-major, so
         # blocks are ray-coherent and the band is narrow)
         blocks = corner_idx.reshape(B, Pp // block_p, block_p, 4)
+        # (B, 2, NP) — _kernel_banded reads band_ref[b, 0, p] / [b, 1, p]
         band = jnp.stack(
             [blocks.min(axis=(2, 3)) // block_hw, blocks.max(axis=(2, 3)) // block_hw],
-            axis=-1,
+            axis=1,
         ).astype(jnp.int32)
         kernel = functools.partial(_kernel_banded, block_p=block_p, block_hw=block_hw)
         # index maps receive the scalar-prefetch ref as a trailing argument

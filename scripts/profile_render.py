@@ -1,5 +1,10 @@
 """Microbenchmark the render-path stages on the real chip to target Pallas work."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax
@@ -83,6 +88,3 @@ def main():
 
 if __name__ == "__main__":
     main()
-
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))

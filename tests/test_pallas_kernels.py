@@ -48,6 +48,32 @@ def test_banded_onehot_matches_exact_gather(mode):
     assert np.abs(got - ref).mean() / scale < 5e-3
 
 
+def test_onehot_matmul_sample_band_sparse_matches_dense():
+    """The band_sparse=True path (per-block [lo, hi] chunk skip via scalar
+    prefetch) must agree with the dense kernel.  Regression: the band array
+    was built (B, NP, 2) while _kernel_banded reads a (B, 2, NP) layout,
+    silently skipping in-band chunks."""
+    from coponerf_tpu.ops.pallas.bilinear_sample import onehot_matmul_sample
+
+    rng = np.random.RandomState(7)
+    B, HW, C, P = 2, 2048, 64, 1024
+    table = jnp.asarray(rng.rand(B, HW, C).astype(np.float32))
+    # narrow per-block bands (so chunks ARE skipped) at different offsets
+    idx = np.empty((B, P, 4), np.int32)
+    for b in range(B):
+        for blk in range(P // 256):
+            lo = rng.randint(0, HW - 300)
+            idx[b, blk * 256: (blk + 1) * 256] = rng.randint(
+                lo, lo + 256, size=(256, 4))
+    w = rng.rand(B, P, 4).astype(np.float32)
+    dense = np.asarray(onehot_matmul_sample(
+        table, jnp.asarray(idx), jnp.asarray(w), block_p=256, block_hw=256))
+    banded = np.asarray(onehot_matmul_sample(
+        table, jnp.asarray(idx), jnp.asarray(w), block_p=256, block_hw=256,
+        band_sparse=True))
+    np.testing.assert_allclose(banded, dense, atol=1e-4)
+
+
 def test_onehot_sampling_gradient_matches_exact(monkeypatch):
     """Table-gradient of the one-hot kernel vs the exact gather path."""
     rng = np.random.RandomState(3)
