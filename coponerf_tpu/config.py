@@ -69,6 +69,12 @@ class TrainConfig:
     steps_per_epoch: int = 0
     mesh_shape: Tuple[int, ...] = (-1,)   # 1-D data-parallel mesh by default
     mesh_axes: Tuple[str, ...] = ("data",)
+    # debug toggle (SURVEY §5): raise at the op that first produces a NaN
+    # instead of silently skipping the step via apply_if_finite.  The
+    # reference's analogue is its NaN guard + breakpoint pair
+    # (wrapper.py:44-58, summaries.py:120-121).  Off in production: it
+    # re-runs jitted code op-by-op on NaN detection.
+    debug_nans: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -281,14 +281,22 @@ class VisSceneDataset(SceneDataset):
         self.num_query_views = 3
 
     def __getitem__(self, idx: int):
+        # deterministic skip-fallback, matching the reference's get_another()
+        # recursion exactly (realestate10k_dataio.py:527-528): step to
+        # `i-1 if i > 200 else i+1`, re-evaluating the direction with the
+        # CURRENT index at every level, so both harnesses evaluate identical
+        # scene sets around corrupt scenes.  (Bounded at 100 steps where the
+        # reference would recurse forever, e.g. the 200<->201 ping-pong.)
         orig_idx = idx
-        for delta in range(100):
-            i = idx - delta if idx > 200 else idx + delta
+        i = idx
+        for _ in range(100):
             loaded = self._load_scene(i)
             if loaded is None:
+                i = i - 1 if i > 200 else i + 1
                 continue
             data, rgb_files, timestamps, pose = loaded
             if len(timestamps) <= 20:
+                i = i - 1 if i > 200 else i + 1
                 continue
             num_frames = len(timestamps)
             n_skip = self.n_skip

@@ -111,6 +111,18 @@ def evaluate(
     (test.py:270 img_summaries)."""
     from coponerf_tpu.data.scene_dataset import collate
 
+    if lpips_weights is None:
+        # the reference protocol ALWAYS reports LPIPS (test.py:258-263);
+        # a run without it must not silently look like the full protocol
+        import warnings
+
+        warnings.warn(
+            "LPIPS weights not provided — the LPIPS column will be MISSING "
+            "and these results are NOT the full reference eval protocol "
+            "(test.py:258-263). Fetch weights with "
+            "scripts/fetch_lpips_weights.py and pass lpips_weights=...",
+            stacklevel=2,
+        )
     encode, render_image = make_renderer(model, chunk)
     acc = M.MetricAccumulator()
 

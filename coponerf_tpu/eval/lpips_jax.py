@@ -29,6 +29,25 @@ _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
+def make_random_weights(path: str, seed: int = 0) -> str:
+    """Write a structurally-valid random-weight npz (offline drives/tests:
+    exercises the full LPIPS code path when the pretrained weights — an
+    external network dependency — are unavailable).  NOT the reference
+    metric; fetch real weights with scripts/fetch_lpips_weights.py."""
+    rng = np.random.RandomState(seed)
+    out = {}
+    in_ch = 3
+    chans = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+    for i, c in zip(CONV_IDX, chans):
+        out[f"features_{i}/kernel"] = (rng.randn(3, 3, in_ch, c) * 0.05).astype(np.float32)
+        out[f"features_{i}/bias"] = np.zeros(c, np.float32)
+        in_ch = c
+    for k, c in enumerate(CHANNELS):
+        out[f"lin{k}/kernel"] = np.abs(rng.randn(1, 1, c, 1)).astype(np.float32) * 0.1
+    np.savez(path, **out)
+    return path
+
+
 class LPIPSVGG:
     _cache = {}
 

@@ -105,9 +105,10 @@ class CoPoNeRF(nn.Module):
         self.query_encode_latent_2 = RawDense(half, in_features=latent, name="query_encode_latent_2")
         self.latent_value = RawDense(half, in_features=latent, name="latent_value")
         self.key_map = RawDense(hid, in_features=latent, name="key_map")
-        # attention-chain Denses as RawDense (param trees identical): the
-        # fast path fuses the whole chain into ops/pallas/attn_embed.py
-        # kernels, which need direct kernel/bias access
+        # attention-chain Denses as RawDense (param trees identical, direct
+        # kernel/bias access for kernel-fusion experiments — see
+        # ops/pallas/experimental/attn_embed.py for the measured-negative
+        # fused chain)
         self.key_map_2 = RawDense(hid, in_features=hid, dtype=cd, name="key_map_2")
         self.query_embed = RawDense(hid, in_features=16, name="query_embed")
         self.query_embed_2 = RawDense(hid, in_features=hid, name="query_embed_2")
@@ -240,7 +241,6 @@ class CoPoNeRF(nn.Module):
         # on TPU (~700ms/level) vs the MXU transpose kernel (~1-6ms).
         from coponerf_tpu.ops.pallas.bilinear_sample import (
             grid_sample_onehot,
-            grid_sample_onehot_window,
             grid_sample_tablegrad,
         )
 
@@ -259,7 +259,6 @@ class CoPoNeRF(nn.Module):
                 t = t.transpose(0, 2, 1, 3)
             return t.reshape(t.shape[0], n_rays * S, -1)
 
-        _env0 = __import__("os").environ
         if cfg.fast_sampling:
             def sample(z, p, mode):
                 # banded one-hot for the <=64^2 levels under sample-major
@@ -294,22 +293,11 @@ class CoPoNeRF(nn.Module):
         # the row-major (rows, tokens, C) layout end-to-end — reshaping to
         # (..., N, S, C) before the matmuls costs ~130 ms/image in pure
         # relayout copies (trace-verified)
-        if smaj and bool(int(_env0.get("COPONERF_ML_SAMPLER", "0"))):
-            # fused 3-level resident-table sampler: measured 87.3k (sub=512)
-            # / 83.3k (sub=1024) vs 93.9k rays/s with separate banded
-            # kernels — the per-block serial level loop pipelines worse
-            # than independent grid-parallel kernels.  OPT-IN.
-            from coponerf_tpu.ops.pallas.multilevel_sample import multilevel_banded_sample
-
-            def sample_all(p, mode):
-                small = multilevel_banded_sample(
-                    list(state.z[:3]), p, mode, out_dtype=jnp.bfloat16
-                )
-                conv = grid_sample_tablegrad(state.z[3].astype(jnp.bfloat16), p, mode)
-                return small + [conv]
-        else:
-            def sample_all(p, mode):
-                return [sample(z, p, mode) for z in state.z]
+        # (measured-negative alternatives — a fused 3-level resident-table
+        # sampler and a windowed 256^2 band sampler — live in
+        # ops/pallas/experimental/ with their numbers; see PERF.md)
+        def sample_all(p, mode):
+            return [sample(z, p, mode) for z in state.z]
 
         NS = n_rays * S
         pv_flat = tokf(pixel_val)
@@ -412,41 +400,23 @@ class CoPoNeRF(nn.Module):
 
         # token-grid shape in the active order: (B, V, N, S) or (B, V, S, N)
         tg = (B, V, S, n_rays) if smaj else (B, V, n_rays, S)
-        _env = __import__("os").environ
-        # the post-sampling megakernel (ops/pallas/render_core.py) keeps the
-        # 832-wide pre-activations in VMEM end-to-end — measured SLOWER than
-        # the split kernels (83.4k vs 92.9k rays/s: its per-block serial
-        # chain pipelines worse); OPT-IN for further tuning
-        use_render_core = (
-            smaj and cfg.repeat_attention and n_rays % 8 == 0
-            and bool(int(_env.get("COPONERF_RENDER_CORE", "0")))
+        # (measured-negative fused alternatives for everything below — the
+        # attn-chain kernels and the post-sampling megakernel — live in
+        # ops/pallas/experimental/ with their numbers; see PERF.md)
+        #
+        # slot-a keys come from pre_p rows (r0, r2: chain of their own
+        # view); slot-b keys from pre_s rows, which sit in FLIPPED view
+        # order (row0 = r3 -> chain 1, row1 = r1 -> chain 0).  The folded
+        # key product rides out of the W1 kernel while the activation is
+        # in VMEM.
+        pre_p, ka = pre_act(samples_p, pt_primary, fk_a)
+        pre_s, kb = pre_act(samples_s, pt_secondary, fk_b)
+        kpre = (
+            ka.reshape(*tg, -1)
+            + kb.reshape(*tg, -1)[:, ::-1]
+            + fk_bias.astype(cd)
         )
-        # Fused attn-chain Pallas kernels are OPT-IN: measured 79.5k vs 89-91k
-        # rays/s with the XLA chain (the 128-wide per-token matmul chain is
-        # something XLA already schedules well; the kernels' narrow-row
-        # logits outputs and per-(s,n) grids cost more than the fused chain
-        # saves).  Kept for further tuning.
-        use_attn_kernels = (
-            smaj and not use_render_core
-            and bool(int(_env.get("COPONERF_ATTN_KERNELS", "0")))
-        )
-        if not use_render_core:
-            # slot-a keys come from pre_p rows (r0, r2: chain of their own
-            # view); slot-b keys from pre_s rows, which sit in FLIPPED view
-            # order (row0 = r3 -> chain 1, row1 = r1 -> chain 0).  The folded
-            # key product rides out of the W1 kernel while the activation is
-            # in VMEM.
-            pre_p, ka = pre_act(samples_p, pt_primary, fk_a)
-            pre_s, kb = pre_act(samples_s, pt_secondary, fk_b)
-            if use_attn_kernels:
-                kb = kb.reshape(B, V, *kb.shape[1:])[:, ::-1].reshape(kb.shape)
-            else:
-                kpre = (
-                    ka.reshape(*tg, -1)
-                    + kb.reshape(*tg, -1)[:, ::-1]
-                    + fk_bias.astype(cd)
-                )
-                kv_bv = self.key_map_2(nn.relu(kpre))                      # (*tg, 128)
+        kv_bv = self.key_map_2(nn.relu(kpre))                              # (*tg, 128)
 
         def weighted_latent(at_bv):
             """sum_{v,s} w[v,s] * latent_value([e_2v || e_2v+1]) with the
@@ -505,83 +475,33 @@ class CoPoNeRF(nn.Module):
             w = jax.nn.softmax(d, axis=-1)
             return w.reshape(B, n_rays, V, S).transpose(0, 2, 1, 3)
 
-        if use_render_core:
-            from coponerf_tpu.ops.pallas.render_core import render_core
+        coords_embed = self.query_embed_2(nn.relu(self.query_embed(lc_tok)))
+        ce = coords_embed.reshape(*tg, -1)
+        dot1 = jnp.sum(kv_bv.astype(jnp.float32) * ce, axis=-1) / 11.31    # (*tg)
+        at_wt_bv = joint_softmax_bv(dot1)                                  # (B, V, N, S)
+        at_wt = at_wt_bv.reshape(B * V, n_rays, S)                         # round-1 weights
 
-            rk = self.query_repeat_embed.kernel
-            hid = cfg.hidden_dim
-            z_sum, at_b = render_core(
-                [s.astype(cd) for s in samples_p], pt_primary.astype(jnp.float32),
-                [s.astype(cd) for s in samples_s], pt_secondary.astype(jnp.float32),
-                lc_tok.astype(jnp.float32),
-                w1_k, w1_b, fk_a, fk_b, fk_bias,
-                self.key_map_2.kernel, self.key_map_2.bias,
-                self.query_embed.kernel, self.query_embed.bias,
-                self.query_embed_2.kernel, self.query_embed_2.bias,
-                rk[:hid], rk[hid:], self.query_repeat_embed.bias,
-                self.query_repeat_embed_2.kernel, self.query_repeat_embed_2.bias,
-                self.encode_latent.kernel, self.encode_latent.bias,
-                flv_a, flv_b, flv_bias,
-                S=S, V=V, n_rays=n_rays,
-            )
-            at_wt_bv = at_b.reshape(B, n_rays, V, S).transpose(0, 2, 1, 3)
-            at_wt = at_wt_bv.reshape(B * V, n_rays, S)
-        elif use_attn_kernels:
-            # fused round-1 chain: kpre add + key_map_2 + query embeds +
-            # dot, one VMEM pass per token block (ce cached for round 2)
-            from coponerf_tpu.ops.pallas.attn_embed import round1_logits, round2_logits
+        # view-summed attended latent (the reference broadcasts this back
+        # to both view slots, CoPoNeRF.py:455-461; both slots hold the
+        # same sum)
+        z_sum = weighted_latent(at_wt_bv)                                  # (B, N, 416)
 
-            dots1 = round1_logits(
-                ka, kb, lc_tok.astype(jnp.float32), fk_bias,
-                self.key_map_2.kernel, self.key_map_2.bias,
-                self.query_embed.kernel, self.query_embed.bias,
-                self.query_embed_2.kernel, self.query_embed_2.bias,
-            )
-            dot1 = dots1.reshape(*tg)
-        else:
-            coords_embed = self.query_embed_2(nn.relu(self.query_embed(lc_tok)))
-            ce = coords_embed.reshape(*tg, -1)
-            dot1 = jnp.sum(kv_bv.astype(jnp.float32) * ce, axis=-1) / 11.31  # (*tg)
-        if not use_render_core:
-            at_wt_bv = joint_softmax_bv(dot1)                              # (B, V, N, S)
-            at_wt = at_wt_bv.reshape(B * V, n_rays, S)                     # round-1 weights
-
-            # view-summed attended latent (the reference broadcasts this back
-            # to both view slots, CoPoNeRF.py:455-461; both slots hold the
-            # same sum)
-            z_sum = weighted_latent(at_wt_bv)                              # (B, N, 416)
-
-        if cfg.repeat_attention and not use_render_core:
+        if cfg.repeat_attention:
             z_embed = self.encode_latent(z_sum)                            # (B, N, 128)
-            hid = self.cfg.hidden_dim
-            if use_attn_kernels:
-                # fused round-2 chain; ze stays per-ray (broadcast over V
-                # and S happens via the kernel's block index map)
-                rk = self.query_repeat_embed.kernel
-                dots2 = round2_logits(
-                    z_embed, lc_tok.astype(jnp.float32),
-                    self.query_embed.kernel, self.query_embed.bias,
-                    self.query_embed_2.kernel, self.query_embed_2.bias,
-                    rk[:hid], rk[hid:], self.query_repeat_embed.bias,
-                    self.query_repeat_embed_2.kernel, self.query_repeat_embed_2.bias,
-                    S=S, V=V,
-                )
-                dot2 = dots2.reshape(*tg)
+            C_ze = z_embed.shape[-1]
+            if smaj:
+                ze = jnp.broadcast_to(z_embed[:, None, :, :], (B, S, n_rays, C_ze))
             else:
-                C_ze = z_embed.shape[-1]
-                if smaj:
-                    ze = jnp.broadcast_to(z_embed[:, None, :, :], (B, S, n_rays, C_ze))
-                else:
-                    ze = jnp.broadcast_to(z_embed[:, :, None, :], (B, n_rays, S, C_ze))
-                lc = lc_tok.reshape(*tg, -1)
-                ze_bv = jnp.broadcast_to(ze[:, None], (B, V) + ze.shape[1:])
-                dot2 = jnp.sum(
-                    self.query_repeat_embed_2(
-                        nn.relu(self.query_repeat_embed(jnp.concatenate([ze_bv, lc], axis=-1)))
-                    )
-                    * ce,
-                    axis=-1,
-                ) / 11.31                                                  # (*tg)
+                ze = jnp.broadcast_to(z_embed[:, :, None, :], (B, n_rays, S, C_ze))
+            lc = lc_tok.reshape(*tg, -1)
+            ze_bv = jnp.broadcast_to(ze[:, None], (B, V) + ze.shape[1:])
+            dot2 = jnp.sum(
+                self.query_repeat_embed_2(
+                    nn.relu(self.query_repeat_embed(jnp.concatenate([ze_bv, lc], axis=-1)))
+                )
+                * ce,
+                axis=-1,
+            ) / 11.31                                                      # (*tg)
             at_wt2_bv = joint_softmax_bv(dot2)
             # per-view partial2 + the (already view-summed) z_sum per slot,
             # then view-summed again: sum_v(partial2_v) + V * z_sum — exactly

@@ -77,6 +77,15 @@ def attention_entropy(at_wt: jnp.ndarray) -> jnp.ndarray:
     return jnp.nan_to_num(ent, nan=0.0).mean()
 
 
+def apply_debug_config(cfg: Config) -> None:
+    """Wire the debug toggles into the JAX runtime (called by train()).
+    jax_debug_nans makes the first NaN-producing op raise with a stack
+    trace — the jit-era replacement for the reference's NaN breakpoints
+    (wrapper.py:44-58, summaries.py:120-121)."""
+    if cfg.train.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+
 def make_train_step(cfg: Config) -> Callable:
     loss_cfg = cfg.loss
 
@@ -148,6 +157,7 @@ def train(
 ):
     """Generic loop: state init (replicated over the mesh), sharded batches,
     periodic checkpoint/validation.  Returns the final state."""
+    apply_debug_config(cfg)
     mesh = mesh or make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
     logdir = os.path.join(cfg.logging_root, cfg.experiment_name)
     logger = MetricLogger(os.path.join(logdir, "summaries"))

@@ -17,11 +17,22 @@ from coponerf_tpu.training import summaries as S
 from coponerf_tpu.training.losses import lf_loss
 
 
-def make_val_fn(cfg: Config, val_batches: Iterable, chunk: int = 512, image_size: int = 256) -> Callable:
+def make_val_fn(
+    cfg: Config,
+    val_batches: Iterable,
+    chunk: int = 512,
+    image_size: int = 256,
+    max_batches: int = 8,
+) -> Callable:
     """Returns val_fn(state, step, logger) for trainer.train.
 
     val_batches: iterable of (model_input, gt) numpy batch dicts with FULL
-    query images (uv covers the image)."""
+    query images (uv covers the image).  At most ``max_batches`` are
+    materialized — in-training validation is a periodic spot check
+    (reference wrapper.py:160-254 renders a handful of val scenes), and a
+    real val loader is far too large to hold in host memory."""
+    import itertools
+
     model = CoPoNeRF(cfg.model)
     # assemble EVERY per-ray output the enabled losses and summaries need:
     # real at_wt (honest entropy) plus the correspondence points/masks so the
@@ -30,7 +41,7 @@ def make_val_fn(cfg: Config, val_batches: Iterable, chunk: int = 512, image_size
     if cfg.loss.cycle:
         keys += ("T_to_C1_pts", "C2_pts_to_C1", "mask_c2", "matchability_cycle_mask")
     encode, render_image = make_renderer(model, chunk, keys=keys)
-    batches = list(val_batches)
+    batches = list(itertools.islice(iter(val_batches), max_batches))
 
     def val_fn(train_state, step, logger):
         variables = {

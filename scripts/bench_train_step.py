@@ -1,6 +1,11 @@
 """Measure the full training step (fwd+bwd+Adam) on the real chip at the
 per-chip slice of BASELINE config 4 (global batch 48 on v5e-8 => 6/chip,
 256^2 pairs, 192 query rays, pose+cycle+ssim losses), plus encode-only time.
+
+Prints one JSON line like bench.py; vs_baseline is the multiple of the
+DERIVED reference training rate (scripts/train_ledger.py: 1328 GF/pair
+fwd+bwd+Adam by XLA cost analysis, A6000 fp32 peak at the same 50%-MFU
+grant BASELINE.md gives the render path => 14.57 pairs/s/GPU).
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -77,6 +82,19 @@ def main():
     loss = float(m["total_train_loss"])  # forces completion of the chain
     dt = (time.time() - t0) / K
     print(f"train step (batch {BATCH}): {dt * 1000:.0f} ms  ({BATCH / dt:.1f} pairs/s/chip)  loss={loss:.3f}", flush=True)
+
+    import json
+
+    REF_PAIRS_PER_SEC_PER_GPU = 14.574   # scripts/train_ledger.py derivation
+    FLOPS_PER_PAIR = 1.328e12
+    pairs = BATCH / dt
+    print(json.dumps({
+        "metric": "train_pairs_per_sec_per_chip_256",
+        "value": round(pairs, 2),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(pairs / REF_PAIRS_PER_SEC_PER_GPU, 3),
+        "mfu_bf16": round(pairs * FLOPS_PER_PAIR / 197e12, 4),
+    }))
 
 
 if __name__ == "__main__":

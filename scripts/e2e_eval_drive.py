@@ -1,7 +1,10 @@
 """End-to-end drive of the offline eval stack on fabricated scenes:
 dataset -> encode -> chunked dual-hypothesis render -> metrics -> report.
-Creates 2 synthetic 256x455 scenes + pose table + overlap file + a fast-init
-checkpoint, then invokes the test.py path."""
+Creates 2 synthetic 256x455 scenes + pose table + a fast-init checkpoint,
+GENERATES the per-scene overlap table with eval/overlap.py (reproducible
+binning, the reference's assets/overlap/*.npy analogue), builds
+structure-only LPIPS weights so every protocol column prints, then invokes
+the test.py path."""
 
 import os
 import sys
@@ -34,9 +37,7 @@ def build_fake_data(root):
         tables[name] = np.array(rows, np.float64)
     pose_path = os.path.join(root, "test.mat")
     savemat(pose_path, tables)
-    overlap_path = os.path.join(root, "overlap.npy")
-    np.save(overlap_path, np.array([[0.8], [0.4]], np.float32))
-    return img_root, pose_path, overlap_path
+    return img_root, pose_path
 
 
 def build_checkpoint(root):
@@ -63,18 +64,47 @@ def build_checkpoint(root):
     return ckpt_lib.save(root, S(), step=0, name="fastinit")
 
 
+def build_overlap_table(root, img_root, pose_path, ckpt):
+    """Generate the per-scene overlap table from the model's own
+    correspondence field (eval/overlap.py) — the regenerable analogue of the
+    reference's shipped assets/overlap/*.npy."""
+    import jax
+    import jax.numpy as jnp
+
+    from coponerf_tpu.config import ModelConfig
+    from coponerf_tpu.data.realestate import RealEstate10kVis
+    from coponerf_tpu.eval.overlap import compute_overlap_table
+    from coponerf_tpu.models import CoPoNeRF
+    from coponerf_tpu.training import checkpoint as ckpt_lib
+
+    model = CoPoNeRF(ModelConfig(fast_sampling=True, compute_dtype="bfloat16"))
+    params, batch_stats, _, _ = ckpt_lib.load(ckpt)
+    variables = jax.tree.map(jnp.asarray, {"params": params, "batch_stats": batch_stats})
+    ds = RealEstate10kVis(img_root, pose_path, overlap=None, n_skip=50)
+    table = compute_overlap_table(model, variables, ds)
+    overlap_path = os.path.join(root, "overlap.npy")
+    np.save(overlap_path, table)
+    print("overlap table:", table.ravel(), flush=True)
+    return overlap_path
+
+
 def main():
     root = tempfile.mkdtemp(prefix="e2e_eval_")
-    img_root, pose_path, overlap_path = build_fake_data(root)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    img_root, pose_path = build_fake_data(root)
     ckpt = build_checkpoint(root)
+    overlap_path = build_overlap_table(root, img_root, pose_path, ckpt)
+    from coponerf_tpu.eval.lpips_jax import make_random_weights
+
+    lpips_path = make_random_weights(os.path.join(root, "lpips_rand.npz"))
     print("data:", img_root, "ckpt:", ckpt, flush=True)
 
     sys.argv = [
         "test.py", "--data_root", img_root, "--pose_root", pose_path,
         "--overlap", overlap_path, "--checkpoint_path", ckpt,
+        "--lpips_weights", lpips_path,
         "--max_batches", "1", "--chunk", "8192", "--fast",
     ]
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import test as test_entry
 
     test_entry.main()

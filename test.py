@@ -30,6 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--chunk", type=int, default=4096)
     p.add_argument("--lpips_weights", type=str, default=None)
+    p.add_argument("--allow_missing_lpips", action="store_true", default=False,
+                   help="run without LPIPS (NOT the full reference protocol)")
     p.add_argument("--fast", action="store_true", default=False,
                    help="throughput config: bf16 + MXU sampling (~1e-3 feature error)")
     return p
@@ -40,6 +42,15 @@ def main():
 
     enable_compilation_cache()
     opt = parse_with_config(build_parser())
+
+    if opt.lpips_weights is None and not opt.allow_missing_lpips:
+        # the reference protocol always reports LPIPS (test.py:258-263):
+        # refuse loudly rather than silently printing a partial table
+        raise SystemExit(
+            "--lpips_weights is required for the full reference eval protocol "
+            "(fetch + convert with scripts/fetch_lpips_weights.py). Pass "
+            "--allow_missing_lpips to run without the LPIPS column."
+        )
 
     import jax.numpy as jnp
 

@@ -10,6 +10,8 @@ import pytest
 
 from coponerf_tpu.training import checkpoint as C
 
+pytestmark = pytest.mark.slow
+
 
 class FakeState:
     params = {"layer": {"kernel": np.arange(12, dtype=np.float32).reshape(3, 4)},

@@ -105,6 +105,30 @@ def test_vis_overlap_follows_loaded_scene(tmp_path):
     assert float(ov) == pytest.approx(0.9, abs=1e-5)  # scene001's row
 
 
+def test_vis_fallback_reevaluates_direction_per_step(fake_root, monkeypatch):
+    """The skip-fallback must match the reference's get_another() recursion
+    (realestate10k_dataio.py:527-528): the step direction is re-evaluated
+    with the CURRENT index at every level (`i-1 if i > 200 else i+1`), not
+    walked monotonically from the original index.  Around the 200 boundary
+    the reference ping-pongs 201<->200; we bound that at 100 probes and
+    raise where it would recurse forever."""
+    from coponerf_tpu.data.scene_dataset import VisSceneDataset
+
+    img_root, pose_root, overlap = fake_root
+    ds = RealEstate10kVis(img_root, pose_root, overlap=overlap, n_skip=50)
+    probes = []
+
+    def fake_load(self, i):
+        probes.append(i)
+        return None  # every scene unloadable
+
+    monkeypatch.setattr(VisSceneDataset, "_load_scene", fake_load)
+    with pytest.raises(RuntimeError):
+        ds[202]
+    # 202 -> 201 -> 200, then the direction flips back up at 200
+    assert probes[:5] == [202, 201, 200, 201, 200]
+
+
 def test_acid_query_between_contexts(fake_root):
     img_root, pose_root, _ = fake_root
     ds = ACID(img_root, pose_root, query_sparsity=16, seed=1)

@@ -13,6 +13,8 @@ from coponerf_tpu.data.synthetic import make_batch
 from coponerf_tpu.models import CoPoNeRF
 from coponerf_tpu.utils.fast_init import fast_init
 
+pytestmark = pytest.mark.slow
+
 IMG = 32
 N_RAYS = 16
 

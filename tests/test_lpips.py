@@ -9,19 +9,8 @@ from coponerf_tpu.eval import lpips_jax
 
 @pytest.fixture(scope="module")
 def weights_file(tmp_path_factory):
-    rng = np.random.RandomState(0)
-    out = {}
-    in_ch = 3
-    chans = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
-    for i, c in zip(lpips_jax.CONV_IDX, chans):
-        out[f"features_{i}/kernel"] = (rng.randn(3, 3, in_ch, c) * 0.05).astype(np.float32)
-        out[f"features_{i}/bias"] = np.zeros(c, np.float32)
-        in_ch = c
-    for k, c in enumerate(lpips_jax.CHANNELS):
-        out[f"lin{k}/kernel"] = np.abs(rng.randn(1, 1, c, 1)).astype(np.float32) * 0.1
     path = str(tmp_path_factory.mktemp("lpips") / "w.npz")
-    np.savez(path, **out)
-    return path
+    return lpips_jax.make_random_weights(path)
 
 
 def test_lpips_matches_torch_oracle_through_converter(tmp_path):

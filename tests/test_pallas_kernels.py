@@ -8,6 +8,8 @@ import pytest
 from coponerf_tpu.ops.grid_sample import grid_sample
 from coponerf_tpu.ops.pallas.bilinear_sample import grid_sample_onehot
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("mode", ["border", "zeros"])
 def test_onehot_sampling_matches_exact_gather(mode):
@@ -112,7 +114,7 @@ def test_weighted_sum_smaj_matches_einsum():
 def test_windowed_onehot_matches_exact_gather(mode):
     """Windowed band kernel (large grid, bulk per-block window DMA) vs the
     exact gather, including wide-band blocks and out-of-image points."""
-    from coponerf_tpu.ops.pallas.bilinear_sample import grid_sample_onehot_window
+    from coponerf_tpu.ops.pallas.experimental.windowed_sample import grid_sample_onehot_window
 
     rng = np.random.RandomState(2)
     img = jnp.asarray(rng.rand(2, 64, 64, 24).astype(np.float32))
@@ -133,7 +135,7 @@ def test_windowed_onehot_matches_exact_gather(mode):
 @pytest.mark.parametrize("mode", ["border", "zeros"])
 def test_multilevel_banded_sample_matches_exact(mode):
     """Fused 3-level resident-table sampler vs per-level exact gathers."""
-    from coponerf_tpu.ops.pallas.multilevel_sample import multilevel_banded_sample
+    from coponerf_tpu.ops.pallas.experimental.multilevel_sample import multilevel_banded_sample
 
     rng = np.random.RandomState(4)
     tables = [jnp.asarray(rng.rand(2, s, s, 32).astype(np.float32))

@@ -3,6 +3,7 @@ dimension (65,536 rays/image at eval).  Sharding it across the mesh must
 produce bitwise-equivalent results to single-device rendering — XLA's SPMD
 partitioner inserts the collectives."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -12,6 +13,8 @@ from coponerf_tpu.config import ModelConfig
 from coponerf_tpu.data.synthetic import make_batch
 from coponerf_tpu.models import CoPoNeRF
 from coponerf_tpu.utils.fast_init import fast_init
+
+pytestmark = pytest.mark.slow
 
 IMG = 32
 N_RAYS = 64

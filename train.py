@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--debug_nans", action="store_true", default=False,
+                   help="raise at the first NaN-producing op (debug; slow)")
+    p.add_argument("--fast", action="store_true", default=False,
+                   help="throughput config: MXU sampling + custom-VJP backward "
+                        "(use with --compute_dtype bfloat16)")
     return p
 
 
@@ -101,6 +106,7 @@ def main():
     cfg = Config(
         model=ModelConfig(
             n_view=opt.views, compute_dtype=opt.compute_dtype,
+            fast_sampling=opt.fast,
         ),
         loss=LossConfig(
             l2_coeff=opt.l2_coeff, depth=opt.depth, pose=opt.pose,
@@ -113,6 +119,7 @@ def main():
             epochs_til_ckpt=opt.epochs_til_ckpt,
             iters_til_ckpt=opt.iters_til_ckpt,
             steps_per_epoch=steps_per_epoch,
+            debug_nans=opt.debug_nans,
         ),
         logging_root=opt.logging_root,
         experiment_name=opt.experiment_name,
