@@ -32,8 +32,18 @@ IMAGE = 256
 CHUNK = 16384
 N_LO, N_HI = 1, 5  # images rendered per timing call
 
+# Two-stage coarse-to-fine epipolar sampling (quality-gated in PARITY.md:
+# joint softmax over coarse+fine unions; per-sample math exact).  Override
+# with --cf A,B or disable with --cf 0,0 (single 64-sample stage).
+CF_DEFAULT = (0, 0)
+
 
 def main():
+    cf = CF_DEFAULT
+    for a in sys.argv[1:]:
+        if a.startswith("--cf"):
+            ab = a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1]
+            cf = tuple(int(x) for x in ab.split(","))
     import jax
 
     from coponerf_tpu.utils.jax_setup import enable_compilation_cache
@@ -46,7 +56,12 @@ def main():
     from coponerf_tpu.models import CoPoNeRF
     from coponerf_tpu.utils.fast_init import fast_init
 
-    cfg = ModelConfig(fast_sampling=True, compute_dtype="bfloat16")
+    cfg = ModelConfig(
+        fast_sampling=True,
+        compute_dtype="bfloat16",
+        coarse_samples=cf[0],
+        fine_samples=cf[1],
+    )
     model = CoPoNeRF(cfg)
     n_rays = IMAGE * IMAGE
     batch_np, _ = make_batch(

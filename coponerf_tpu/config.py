@@ -36,6 +36,15 @@ class ModelConfig:
     # rematerialize UFC layers under autodiff (trades ~30% encode FLOPs for
     # the activation memory that otherwise OOMs 256^2 training at batch>3/chip)
     remat_ufc: bool = True
+    # Two-stage coarse-to-fine epipolar sampling (throughput path only,
+    # requires fast_sampling): stage A runs the full pipeline at
+    # coarse_samples uniform positions, stage B refines fine_samples
+    # positions inside the round-1 attention peak's bracketing interval,
+    # and attention is a joint softmax over the union.  Per-sample math is
+    # exact; the approximation is where the segment is sampled.  0/0
+    # disables (single uniform stage of npoints, the reference protocol).
+    coarse_samples: int = 0
+    fine_samples: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

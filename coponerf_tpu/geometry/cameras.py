@@ -156,8 +156,15 @@ def batch_project_to_other_img(kpi, di, Ki, Kj, T_itoj, return_depth: bool = Fal
     return kpi_j
 
 
-def geodesic_rotation_distance(m1: jnp.ndarray, m2: jnp.ndarray) -> jnp.ndarray:
-    """Per-pair geodesic angle between rotation matrices (radians)."""
+def geodesic_rotation_distance(m1: jnp.ndarray, m2: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """Per-pair geodesic angle between rotation matrices (radians).
+
+    eps > 0 keeps the arccos gradient finite when the rotations align:
+    d/dcos arccos -> -inf as cos -> 1, so a training loss hits NaN grads the
+    moment the pose fits (the reference has the identical blowup at
+    loss_function.py:76-86 and relies on its NaN-guard to skip those steps,
+    wrapper.py:44-58 — which silently stalls pose training).  Metrics keep
+    eps=0 (exact values, no gradient needed)."""
     m = m1 @ jnp.swapaxes(m2, -1, -2)
     cos = (m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2] - 1.0) / 2.0
-    return jnp.arccos(jnp.clip(cos, -1.0, 1.0))
+    return jnp.arccos(jnp.clip(cos, -1.0 + eps, 1.0 - eps))

@@ -232,8 +232,6 @@ class CoPoNeRF(nn.Module):
         valid_mask = proj["overlaps_image"].astype(jnp.float32)           # (B*V, N)
         start = jnp.nan_to_num((proj["xy_min"] - 0.5) * 2.0, nan=0.0, posinf=0.0, neginf=0.0)
         end = jnp.nan_to_num((proj["xy_max"] - 0.5) * 2.0, nan=0.0, posinf=0.0, neginf=0.0)
-        interval = jnp.linspace(0.0, 1.0, S)
-        pixel_val = start[:, :, None, :] + (end - start)[:, :, None, :] * interval[None, None, :, None]
 
         # Latent sampling is always table-grad-only under autodiff: the
         # epipolar coordinates derive from GT poses (no parameters upstream),
@@ -253,11 +251,23 @@ class CoPoNeRF(nn.Module):
         # per-ray results are identical (reduction order aside).
         smaj = cfg.fast_sampling and not train
 
-        def tokf(t):
-            """(B*V, N, S, C) -> (B*V, T, C) in the active token order."""
+        # Two-stage coarse-to-fine epipolar sampling (the NeRF hierarchical
+        # sampling idea applied to epipolar attention): stage A runs the FULL
+        # exact pipeline at cfg.coarse_samples uniform positions; the round-1
+        # logits locate the attention peak per (ray, view); stage B re-runs
+        # the pipeline at cfg.fine_samples positions inside the bracketing
+        # coarse interval.  Attention (both rounds) is a joint softmax over
+        # the union, so the math per sample is EXACT — the approximation is
+        # only in WHERE the segment is sampled (quality-gated in PARITY.md).
+        # Throughput path only: selection is non-differentiable.
+        two_stage = smaj and cfg.coarse_samples > 0 and cfg.fine_samples > 0
+        S1 = cfg.coarse_samples if two_stage else S
+
+        def tokf(t, S_):
+            """(B*V, N, S_, C) -> (B*V, T, C) in the active token order."""
             if smaj:
                 t = t.transpose(0, 2, 1, 3)
-            return t.reshape(t.shape[0], n_rays * S, -1)
+            return t.reshape(t.shape[0], n_rays * S_, -1)
 
         if cfg.fast_sampling:
             def sample(z, p, mode):
@@ -299,16 +309,8 @@ class CoPoNeRF(nn.Module):
         def sample_all(p, mode):
             return [sample(z, p, mode) for z in state.z]
 
-        NS = n_rays * S
-        pv_flat = tokf(pixel_val)
-        samples_p = sample_all(pv_flat, "border")
-
-        # 3D point on the query ray nearest to each epipolar sample
         ctx_flat_c2w = context_cam2world.reshape(B * V, 4, 4)
         ctx_flat_intr = ctx_intr.reshape(B * V, 4, 4)
-        pt, _, _, _ = G.get_3d_point_epipolar(
-            lf_coords, pixel_val, ctx_flat_c2w, H, W, ctx_flat_intr
-        )
 
         # relative transforms into each context view (val: slot-2 uses the
         # estimated pose, CoPoNeRF.py:325-332)
@@ -320,33 +322,15 @@ class CoPoNeRF(nn.Module):
             crel_v1 = inv_ctx[:, 0:1] @ ctx_c2w
             crel_v2 = inv_ctx[:, 1:2] @ ctx_c2w
 
-        pt_view1 = G.encode_relative_point(pt, crel_v1).reshape(B, V, n_rays, S, 3)
-        pt_view2 = G.encode_relative_point(pt, crel_v2).reshape(B, V, n_rays, S, 3)
-
         intr_v1 = ctx_intr[:, 0]
         intr_v2 = ctx_intr[:, 1]
-        pt_v1_c1 = pt_view1[:, 0]
-        pt_v1_c2 = pt_view1[:, 1]
-        pt_v2_c1 = pt_view2[:, 0]
-        pt_v2_c2 = pt_view2[:, 1]
 
         def norm_px(p):
             x = (p[..., 0] / (W - 1)) * 2 - 1
             y = (p[..., 1] / (H - 1)) * 2 - 1
             return jnp.stack([x, y], axis=-1)
 
-        px_v2_c1 = norm_px(G.project(pt_v2_c1[..., 0], pt_v2_c1[..., 1], pt_v2_c1[..., 2], intr_v2)[..., :2])
-        px_v1_c2 = norm_px(G.project(pt_v1_c2[..., 0], pt_v1_c2[..., 1], pt_v1_c2[..., 2], intr_v1)[..., :2])
-
-        # secondary (cross-view reprojected) features, zeros padding
-        px_stack = tokf(jnp.stack([px_v1_c2, px_v2_c1], axis=1).reshape(B * V, n_rays, S, 2))
-        samples_s = sample_all(px_stack, "zeros")
-
         scrub = lambda x: jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
-        pt_v1_c1 = jax.lax.stop_gradient(scrub(pt_v1_c1))
-        pt_v2_c2 = jax.lax.stop_gradient(scrub(pt_v2_c2))
-        pt_v1_c2 = scrub(pt_v1_c2)
-        pt_v2_c1 = scrub(pt_v2_c1)
 
         cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
@@ -367,14 +351,6 @@ class CoPoNeRF(nn.Module):
         # ~90 ms/image trace-verified), with the input concat LANE-ALIGNED:
         # the narrow conv(64)/tanh(3) pieces pack with zeros into one 128-wide
         # chunk and W1's kernel rows are zero-padded to match (exact math).
-        #
-        # Sample-set row layout (matches the samplers' view rows):
-        #   pre_p rows: [r0 = primary view 1,        r2 = primary view 2]
-        #   pre_s rows: [r3 = secondary view 1 -> 2, r1 = secondary view 2 -> 1]
-        # chain v=0 has slots (r0, r1); chain v=1 has slots (r2, r3).
-        pt_primary = tokf(jnp.stack([pt_v1_c1, pt_v2_c2], axis=1).reshape(B * V, n_rays, S, 3))
-        pt_secondary = tokf(jnp.stack([pt_v1_c2, pt_v2_c1], axis=1).reshape(B * V, n_rays, S, 3))
-
         w1_k = self.query_encode_latent.kernel                             # (835, 832)
         w1_b = self.query_encode_latent.bias
         from coponerf_tpu.ops.pallas.split_matmul import split_dense_relu
@@ -398,120 +374,195 @@ class CoPoNeRF(nn.Module):
                 parts, w1_k, w1_b, fk, out_dtype=cd, relu=True, swap_k_pairs=swap_k
             )                                                              # (B*V, NS, 832|128)
 
-        # token-grid shape in the active order: (B, V, N, S) or (B, V, S, N)
-        tg = (B, V, S, n_rays) if smaj else (B, V, n_rays, S)
-        # (measured-negative fused alternatives for everything below — the
-        # attn-chain kernels and the post-sampling megakernel — live in
-        # ops/pallas/experimental/ with their numbers; see PERF.md)
-        #
-        # slot-a keys come from pre_p rows (r0, r2: chain of their own
-        # view); slot-b keys from pre_s rows, which sit in FLIPPED view
-        # order (row0 = r3 -> chain 1, row1 = r1 -> chain 0).  The folded
-        # key product rides out of the W1 kernel while the activation is
-        # in VMEM.
-        pre_p, ka = pre_act(samples_p, pt_primary, fk_a)
-        pre_s, kb = pre_act(samples_s, pt_secondary, fk_b)
-        kpre = (
-            ka.reshape(*tg, -1)
-            + kb.reshape(*tg, -1)[:, ::-1]
-            + fk_bias.astype(cd)
-        )
-        kv_bv = self.key_map_2(nn.relu(kpre))                              # (*tg, 128)
+        query_ray_orig = G.get_ray_origin(qc2w_flat)[:, None, None, :]
 
-        def weighted_latent(at_bv):
-            """sum_{v,s} w[v,s] * latent_value([e_2v || e_2v+1]) with the
-            linear maps deferred to per-ray tokens.  The view flip for the
-            slot-b tensors is applied to the (tiny) weights, not the 1.7 GB
-            activations.  at_bv arrives RAY-MAJOR (B, V, N, S); under smaj
-            the (tiny) weights are transposed to match the tokens."""
-            def wsum(w_bv, pre):
-                # Pallas streaming reduction under smaj: XLA reassociates
-                # the (multiply, reduce) chain into two stages with a f32
-                # copy of the whole 832-wide activation (3.5 GB/pass,
-                # trace-verified at ~45 ms vs the ~5 ms bandwidth bound)
-                if smaj:
-                    from coponerf_tpu.ops.pallas.weighted_sum import weighted_sum_smaj
+        def run_stage(tvals, S_):
+            """Everything per-sample for one sampling stage.  tvals: (S_,) or
+            (B*V, N, S_) fractional positions along the epipolar segment.
 
-                    w = w_bv.reshape(B * V, n_rays, S)
-                    per_view = weighted_sum_smaj(pre, w, S)                # (B*V, N, C)
-                else:
-                    # explicit multiply + f32-accumulated reduce over the
-                    # MINOR-adjacent S axis only, then the cheap V-sum
-                    w = w_bv.reshape(B * V, n_rays, S, 1).astype(pre.dtype)
-                    rw = pre.reshape(B * V, n_rays, S, -1) * w
-                    per_view = jnp.sum(rw, axis=2, dtype=jnp.float32)      # (B*V, N, C)
-                return jnp.sum(per_view.reshape(B, V, n_rays, -1), axis=1)
+            Sample-set row layout (matches the samplers' view rows):
+              pre_p rows: [r0 = primary view 1,        r2 = primary view 2]
+              pre_s rows: [r3 = secondary view 1 -> 2, r1 = secondary view 2 -> 1]
+            chain v=0 has slots (r0, r1); chain v=1 has slots (r2, r3).
+            slot-a keys come from pre_p rows (chain of their own view);
+            slot-b keys from pre_s rows, which sit in FLIPPED view order.
+            The folded key product rides out of the W1 kernel while the
+            activation is in VMEM."""
+            pixel_val = start[:, :, None, :] + (end - start)[:, :, None, :] * tvals[..., None]
+            pv_flat = tokf(pixel_val, S_)
+            # primary features: all 4 latents sampled along the segments
+            # (border pad).  Coordinates stay FLAT (B*V, T, 2) so sampler
+            # outputs keep the row-major (rows, tokens, C) layout end-to-end
+            samples_p = sample_all(pv_flat, "border")
 
-            ua = wsum(at_bv, pre_p)
-            ub = wsum(at_bv[:, ::-1], pre_s)
+            # 3D point on the query ray nearest to each epipolar sample
+            pt, _, _, _ = G.get_3d_point_epipolar(
+                lf_coords, pixel_val, ctx_flat_c2w, H, W, ctx_flat_intr
+            )
+            pt_view1 = G.encode_relative_point(pt, crel_v1).reshape(B, V, n_rays, S_, 3)
+            pt_view2 = G.encode_relative_point(pt, crel_v2).reshape(B, V, n_rays, S_, 3)
+            pt_v1_c1 = pt_view1[:, 0]
+            pt_v1_c2 = pt_view1[:, 1]
+            pt_v2_c1 = pt_view2[:, 0]
+            pt_v2_c2 = pt_view2[:, 1]
+
+            px_v2_c1 = norm_px(G.project(pt_v2_c1[..., 0], pt_v2_c1[..., 1], pt_v2_c1[..., 2], intr_v2)[..., :2])
+            px_v1_c2 = norm_px(G.project(pt_v1_c2[..., 0], pt_v1_c2[..., 1], pt_v1_c2[..., 2], intr_v1)[..., :2])
+
+            # secondary (cross-view reprojected) features, zeros padding
+            px_stack = tokf(jnp.stack([px_v1_c2, px_v2_c1], axis=1).reshape(B * V, n_rays, S_, 2), S_)
+            samples_s = sample_all(px_stack, "zeros")
+
+            pt_v1_c1 = jax.lax.stop_gradient(scrub(pt_v1_c1))
+            pt_v2_c2 = jax.lax.stop_gradient(scrub(pt_v2_c2))
+            pt_v1_c2 = scrub(pt_v1_c2)
+            pt_v2_c1 = scrub(pt_v2_c1)
+
+            pt_primary = tokf(jnp.stack([pt_v1_c1, pt_v2_c2], axis=1).reshape(B * V, n_rays, S_, 3), S_)
+            pt_secondary = tokf(jnp.stack([pt_v1_c2, pt_v2_c1], axis=1).reshape(B * V, n_rays, S_, 3), S_)
+
+            pre_p, ka = pre_act(samples_p, pt_primary, fk_a)
+            pre_s, kb = pre_act(samples_s, pt_secondary, fk_b)
+            # token-grid shape in the active order
+            tg_ = (B, V, S_, n_rays) if smaj else (B, V, n_rays, S_)
+            kpre = (
+                ka.reshape(*tg_, -1)
+                + kb.reshape(*tg_, -1)[:, ::-1]
+                + fk_bias.astype(cd)
+            )
+            kv_bv = self.key_map_2(nn.relu(kpre))                          # (*tg_, 128)
+
+            cam_rays = G.get_ray_directions_cam(pixel_val, ctx_flat_intr, H, W)
+            ray_dir_s = jnp.broadcast_to(ray_dir[:, :, None, :], cam_rays.shape)
+            query_ray_orig_ex = jnp.broadcast_to(query_ray_orig, cam_rays.shape)
+
+            depth = jnp.linalg.norm(pt - query_ray_orig, axis=-1)[..., None]
+            depth = jnp.nan_to_num(depth, nan=1e6, posinf=1e6, neginf=1e6)
+            depth = jax.lax.stop_gradient(depth)
+            depth_encode = jnp.concatenate(
+                [jnp.tanh(depth), jnp.tanh(depth / 10.0), jnp.tanh(depth / 100.0), jnp.tanh(depth / 1000.0)],
+                axis=-1,
+            )
+
+            cam_origin_zeros = jnp.zeros_like(query_ray_orig_ex)
+            local_coords = jnp.concatenate(
+                [cam_rays, cam_origin_zeros, ray_dir_s, depth_encode, query_ray_orig_ex], axis=-1
+            )                                                              # 16 channels
+            lc_tok = tokf(local_coords.reshape(B * V, n_rays, S_, -1), S_)
+
+            coords_embed = self.query_embed_2(nn.relu(self.query_embed(lc_tok)))
+            ce = coords_embed.reshape(*tg_, -1)
+            dot1 = jnp.sum(kv_bv.astype(jnp.float32) * ce, axis=-1) / 11.31  # (*tg_)
+            return {
+                "S": S_, "tg": tg_, "pixel_val": pixel_val, "pt": pt,
+                "pre_p": pre_p, "pre_s": pre_s, "ce": ce, "lc_tok": lc_tok,
+                "dot1": dot1,
+            }
+
+        def ray_major(dot, S_):
+            """(*tg_) logits -> (B, V, N, S_)."""
+            return dot.transpose(0, 1, 3, 2) if smaj else dot
+
+        stages = [run_stage(jnp.linspace(0.0, 1.0, S1), S1)]
+        if two_stage:
+            S2 = cfg.fine_samples
+            # locate the round-1 attention peak per (ray, view) from the
+            # coarse logits; refine uniformly inside the bracketing coarse
+            # interval [t*-1, t*+1]/(S1-1), offset half a fine step so fine
+            # points interleave rather than duplicate the coarse ones
+            d1 = ray_major(stages[0]["dot1"], S1)                          # (B, V, N, S1)
+            s_star = jax.lax.stop_gradient(jnp.argmax(d1, axis=-1)).astype(jnp.float32)
+            t_lo = jnp.clip((s_star - 1.0) / (S1 - 1), 0.0, 1.0)
+            t_hi = jnp.clip((s_star + 1.0) / (S1 - 1), 0.0, 1.0)
+            offs = (jnp.arange(S2, dtype=jnp.float32) + 0.5) / S2
+            tv2 = t_lo[..., None] + (t_hi - t_lo)[..., None] * offs        # (B, V, N, S2)
+            stages.append(run_stage(tv2.reshape(B * V, n_rays, S2), S2))
+
+        def joint_softmax(dots_list):
+            """Per-stage token-grid logits -> joint softmax over both views
+            and ALL stages' samples; returns (per-stage ray-major weights,
+            full (B, V, N, S_eff) weights)."""
+            d_all = jnp.concatenate(
+                [ray_major(d, st["S"]) for st, d in zip(stages, dots_list)], axis=-1
+            )                                                              # (B, V, N, SE)
+            SE = d_all.shape[-1]
+            w = jax.nn.softmax(d_all.transpose(0, 2, 1, 3).reshape(B, n_rays, V * SE), axis=-1)
+            w = w.reshape(B, n_rays, V, SE).transpose(0, 2, 1, 3)
+            pieces, o = [], 0
+            for st in stages:
+                pieces.append(w[..., o: o + st["S"]])
+                o += st["S"]
+            return pieces, w
+
+        def wsum(w_bv, pre, S_):
+            """sum_s w * pre over one stage's tokens -> (B, N, C) view-sum."""
+            if smaj:
+                # Pallas streaming reduction: XLA reassociates the
+                # (multiply, reduce) chain into two stages with a f32 copy of
+                # the whole 832-wide activation (3.5 GB/pass, trace-verified)
+                from coponerf_tpu.ops.pallas.weighted_sum import weighted_sum_smaj
+
+                w = w_bv.reshape(B * V, n_rays, S_)
+                per_view = weighted_sum_smaj(pre, w, S_)                   # (B*V, N, C)
+            else:
+                w = w_bv.reshape(B * V, n_rays, S_, 1).astype(pre.dtype)
+                rw = pre.reshape(B * V, n_rays, S_, -1) * w
+                per_view = jnp.sum(rw, axis=2, dtype=jnp.float32)          # (B*V, N, C)
+            return jnp.sum(per_view.reshape(B, V, n_rays, -1), axis=1)
+
+        def weighted_latent(w_list):
+            """sum_{v,s} w[v,s] * latent_value([e_2v || e_2v+1]) across all
+            stages, with the linear maps deferred to per-ray tokens.  The
+            view flip for the slot-b tensors is applied to the (tiny)
+            weights, not the activations.  Weights arrive RAY-MAJOR
+            (B, V, N, S_st) per stage; the joint softmax sums to 1 over all
+            stages, so the folded bias rides once."""
+            ua = ub = None
+            for st, w_bv in zip(stages, w_list):
+                a = wsum(w_bv, st["pre_p"], st["S"])
+                b2 = wsum(w_bv[:, ::-1], st["pre_s"], st["S"])
+                ua = a if ua is None else ua + a
+                ub = b2 if ub is None else ub + b2
             return ua @ flv_a + ub @ flv_b + flv_bias                      # (B, N, 416)
 
-        cam_rays = G.get_ray_directions_cam(pixel_val, ctx_flat_intr, H, W)
-        ray_dir_s = jnp.broadcast_to(ray_dir[:, :, None, :], cam_rays.shape)
-        query_ray_orig = G.get_ray_origin(qc2w_flat)[:, None, None, :]
-        query_ray_orig_ex = jnp.broadcast_to(query_ray_orig, cam_rays.shape)
-
-        depth = jnp.linalg.norm(pt - query_ray_orig, axis=-1)[..., None]
-        depth = jnp.nan_to_num(depth, nan=1e6, posinf=1e6, neginf=1e6)
-        depth = jax.lax.stop_gradient(depth)
-        depth_encode = jnp.concatenate(
-            [jnp.tanh(depth), jnp.tanh(depth / 10.0), jnp.tanh(depth / 100.0), jnp.tanh(depth / 1000.0)],
-            axis=-1,
-        )
-
-        cam_origin_zeros = jnp.zeros_like(query_ray_orig_ex)
-        local_coords = jnp.concatenate(
-            [cam_rays, cam_origin_zeros, ray_dir_s, depth_encode, query_ray_orig_ex], axis=-1
-        )                                                                  # 16 channels
-        lc_tok = tokf(local_coords.reshape(B * V, n_rays, S, -1))          # (B*V, T, 16)
-
-        def joint_softmax_bv(dots):
-            """Token-grid logits (*tg) -> softmax jointly over both views'
-            samples, returned RAY-MAJOR (B, V, N, S)."""
-            if smaj:
-                d = dots.transpose(0, 3, 1, 2).reshape(B, n_rays, V * S)
-            else:
-                d = dots.transpose(0, 2, 1, 3).reshape(B, n_rays, V * S)
-            w = jax.nn.softmax(d, axis=-1)
-            return w.reshape(B, n_rays, V, S).transpose(0, 2, 1, 3)
-
-        coords_embed = self.query_embed_2(nn.relu(self.query_embed(lc_tok)))
-        ce = coords_embed.reshape(*tg, -1)
-        dot1 = jnp.sum(kv_bv.astype(jnp.float32) * ce, axis=-1) / 11.31    # (*tg)
-        at_wt_bv = joint_softmax_bv(dot1)                                  # (B, V, N, S)
-        at_wt = at_wt_bv.reshape(B * V, n_rays, S)                         # round-1 weights
+        w1_list, at_wt_bv = joint_softmax([st["dot1"] for st in stages])
+        at_wt = at_wt_bv.reshape(B * V, n_rays, -1)                        # round-1 weights
 
         # view-summed attended latent (the reference broadcasts this back
         # to both view slots, CoPoNeRF.py:455-461; both slots hold the
         # same sum)
-        z_sum = weighted_latent(at_wt_bv)                                  # (B, N, 416)
+        z_sum = weighted_latent(w1_list)                                   # (B, N, 416)
 
         if cfg.repeat_attention:
             z_embed = self.encode_latent(z_sum)                            # (B, N, 128)
             C_ze = z_embed.shape[-1]
-            if smaj:
-                ze = jnp.broadcast_to(z_embed[:, None, :, :], (B, S, n_rays, C_ze))
-            else:
-                ze = jnp.broadcast_to(z_embed[:, :, None, :], (B, n_rays, S, C_ze))
-            lc = lc_tok.reshape(*tg, -1)
-            ze_bv = jnp.broadcast_to(ze[:, None], (B, V) + ze.shape[1:])
-            dot2 = jnp.sum(
-                self.query_repeat_embed_2(
-                    nn.relu(self.query_repeat_embed(jnp.concatenate([ze_bv, lc], axis=-1)))
-                )
-                * ce,
-                axis=-1,
-            ) / 11.31                                                      # (*tg)
-            at_wt2_bv = joint_softmax_bv(dot2)
+            dots2 = []
+            for st in stages:
+                S_, tg_ = st["S"], st["tg"]
+                if smaj:
+                    ze = jnp.broadcast_to(z_embed[:, None, :, :], (B, S_, n_rays, C_ze))
+                else:
+                    ze = jnp.broadcast_to(z_embed[:, :, None, :], (B, n_rays, S_, C_ze))
+                lc = st["lc_tok"].reshape(*tg_, -1)
+                ze_bv = jnp.broadcast_to(ze[:, None], (B, V) + ze.shape[1:])
+                dots2.append(jnp.sum(
+                    self.query_repeat_embed_2(
+                        nn.relu(self.query_repeat_embed(jnp.concatenate([ze_bv, lc], axis=-1)))
+                    )
+                    * st["ce"],
+                    axis=-1,
+                ) / 11.31)                                                 # (*tg_)
+            w2_list, _ = joint_softmax(dots2)
             # per-view partial2 + the (already view-summed) z_sum per slot,
             # then view-summed again: sum_v(partial2_v) + V * z_sum — exactly
             # the reference's repeated view_sum semantics
-            z_sum = weighted_latent(at_wt2_bv) + V * z_sum
+            z_sum = weighted_latent(w2_list) + V * z_sum
 
         # assemble the light-field decoder input: every view slot carries the
         # same view-summed latent, so z_flat is V copies of z_sum
         z_flat = jnp.concatenate([z_sum] * V, axis=-1)                     # (B, N, V*416)
-        coords9 = jnp.concatenate([lf_coords, query_ray_orig_ex[:, :, 0, :]], axis=-1)
+        qro_n = jnp.broadcast_to(query_ray_orig[:, :, 0, :], (B * V, n_rays, 3))
+        coords9 = jnp.concatenate([lf_coords, qro_n], axis=-1)
         coords18 = coords9.reshape(B, V, n_rays, 9).transpose(0, 2, 1, 3).reshape(B, n_rays, -1)
         rgb = self.phi(jnp.concatenate([z_flat, coords18], axis=-1))
 
@@ -521,7 +572,8 @@ class CoPoNeRF(nn.Module):
         out["rgb"] = rgb.reshape(B, n_qry, n_rays, 3)
 
         # attention-weighted 3D point -> depth in the query camera
-        pt_clamp = jnp.clip(pt, -100.0, 100.0)
+        pt_all = jnp.concatenate([st["pt"] for st in stages], axis=-2)  # (B*V, N, SE, 3)
+        pt_clamp = jnp.clip(pt_all, -100.0, 100.0)
         world_pt = jnp.sum(at_wt[..., None] * pt_clamp, axis=-2)           # (B*V, N, 3)
         world_pt = world_pt.reshape(B, V, n_rays, 3).sum(axis=1)
         world_pt_cam = G.project_cam2world(world_pt, query["cam2world"][:, 0])
@@ -549,7 +601,7 @@ class CoPoNeRF(nn.Module):
         out["at_wt"] = at_wt
         out["at_wt_max"] = jnp.argmax(at_wt, axis=-1)
         out["depth_ray"] = jnp.clip(depth_ray, 0.0, 10.0)[..., None]
-        out["pixel_val"] = pixel_val
+        out["pixel_val"] = jnp.concatenate([st["pixel_val"] for st in stages], axis=-2)
         out["coords"] = coords9
         out["uv"] = query["uv"]
         out["z"] = state.z

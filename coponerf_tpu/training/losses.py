@@ -108,9 +108,14 @@ def lf_loss(
         )
 
     if cfg.pose:
+        # eps keeps the arccos gradient finite as the pose converges; the
+        # reference's exact form NaNs there and relies on its grad-guard to
+        # skip the step (loss_function.py:76-86 + wrapper.py:44-58), which
+        # stalls pose training once the fit is good.  Angle floor ~4.5e-4 rad.
         rot = jnp.mean(
             geodesic_rotation_distance(
-                model_out["rel_pose"][:, :3, :3], model_out["gt_rel_pose"][:, :3, :3]
+                model_out["rel_pose"][:, :3, :3], model_out["gt_rel_pose"][:, :3, :3],
+                eps=1e-7,
             )
         )
         trans = jnp.mean(

@@ -99,6 +99,34 @@ def test_train_step_descends_on_mesh():
     assert np.abs(p1 - p0).max() > 0.0  # optimizer actually applied updates
 
 
+def test_coarse_fine_render_structure(tiny_setup):
+    """Two-stage coarse-to-fine sampling: joint softmax over the union of
+    stages normalizes correctly, outputs keep their contracts, and the
+    sample axis is coarse+fine wide.  (Quality vs the single-stage path is
+    gated on TRAINED weights — see PARITY.md — because top-1 refinement is
+    only meaningful once attention is peaked.)"""
+    import dataclasses
+
+    cfg, model, batch, variables = tiny_setup
+    cf_model = CoPoNeRF(dataclasses.replace(
+        cfg, fast_sampling=True, compute_dtype="bfloat16",
+        coarse_samples=6, fine_samples=4))
+    out = cf_model.apply(variables, batch, val=True, train=False)
+    SE = 6 + 4
+    B, n_rays = 1, 16
+    assert out["at_wt"].shape == (B * 2, n_rays, SE)
+    assert out["pixel_val"].shape[-2] == SE
+    w = np.asarray(out["at_wt"]).reshape(B, 2, n_rays, SE)
+    np.testing.assert_allclose(w.sum(axis=(1, 3)), 1.0, atol=1e-4)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+    assert np.isfinite(np.asarray(out["depth_ray"])).all()
+    # training ignores the two-stage config (selection is non-differentiable)
+    out_tr, _ = cf_model.apply(
+        variables, batch, val=False, train=True, mutable=["batch_stats"]
+    )
+    assert out_tr["at_wt"].shape == (B * 2, n_rays, cfg.npoints)
+
+
 def test_nan_batch_skips_update():
     """A poisoned batch must leave params bit-identical and increment the
     apply_if_finite skip counter (reference wrapper.py:44-58 semantics: scan
