@@ -103,7 +103,7 @@ def main():
     if not cf_list:
         cf_list = [(16, 16), (16, 8)]
 
-    params, batch_stats, step, _ = ckpt_lib.load(ckpt)
+    params, batch_stats, _, step = ckpt_lib.load(ckpt)
     variables = jax.tree.map(jnp.asarray, {"params": params, "batch_stats": batch_stats})
     print(f"checkpoint {ckpt} (step {step}); {n_scenes} scenes", flush=True)
 
@@ -111,7 +111,9 @@ def main():
 
     exact = ModelConfig()
     fast = dataclasses.replace(exact, fast_sampling=True, compute_dtype="bfloat16")
-    results = {"exact": run_config("exact", exact, variables, ds)}
+    # the exact f32 path carries ~2x the activation footprint per ray of the
+    # bf16 fast path; 16384-ray chunks OOM the 16 GB chip in val mode
+    results = {"exact": run_config("exact", exact, variables, ds, chunk=4096)}
     results["fast"] = run_config("fast", fast, variables, ds)
     for (a, b) in cf_list:
         cfg = dataclasses.replace(fast, coarse_samples=a, fine_samples=b)

@@ -24,8 +24,16 @@ CHUNK = 16384
 
 
 def main():
-    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/render_trace"
-    cfg = ModelConfig(fast_sampling=True, compute_dtype="bfloat16")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    outdir = args[0] if args else "/tmp/render_trace"
+    cf = (0, 0)
+    for a in sys.argv[1:]:
+        if a.startswith("--cf="):
+            cf = tuple(int(x) for x in a.split("=", 1)[1].split(","))
+    cfg = ModelConfig(
+        fast_sampling=True, compute_dtype="bfloat16",
+        coarse_samples=cf[0], fine_samples=cf[1],
+    )
     model = CoPoNeRF(cfg)
     n_rays = IMAGE * IMAGE
     batch_np, _ = make_batch(1, IMAGE, n_rays, seed=0, full_query_image=True)
