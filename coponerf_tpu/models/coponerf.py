@@ -325,6 +325,23 @@ class CoPoNeRF(nn.Module):
         intr_v1 = ctx_intr[:, 0]
         intr_v2 = ctx_intr[:, 1]
 
+        # Per-view-row SE(3)/intrinsics tables so the per-sample geometry
+        # stays in the flat (B*V) row layout end-to-end: row v transformed
+        # into its OWN view (diag) or into the OTHER view (cross, natural
+        # row order).  The old formulation sliced pt_view{1,2}[:, v] and
+        # restacked four per-view tensors per stage — ~24 async DMA slices
+        # per chunk at f32 (trace-verified); these tables remove all of them.
+        crel_diag = jnp.concatenate([crel_v1[:, 0:1], crel_v2[:, 1:2]], axis=1)
+        crel_other = jnp.concatenate([crel_v2[:, 0:1], crel_v1[:, 1:2]], axis=1)
+        intr_other = jnp.stack([intr_v2, intr_v1], axis=1).reshape(B * V, 4, 4)
+        # view-row-swapped latent tables: sampling them at natural-order
+        # cross coordinates yields the secondary features directly in the
+        # order they are consumed (the explicit [:, ::-1] flips downstream
+        # become the identity).  ~20 MB of HBM copies per chunk (~25 us).
+        z_sw = [
+            z.reshape(B, V, *z.shape[1:])[:, ::-1].reshape(z.shape) for z in state.z
+        ]
+
         def norm_px(p):
             x = (p[..., 0] / (W - 1)) * 2 - 1
             y = (p[..., 1] / (H - 1)) * 2 - 1
@@ -381,11 +398,10 @@ class CoPoNeRF(nn.Module):
             (B*V, N, S_) fractional positions along the epipolar segment.
 
             Sample-set row layout (matches the samplers' view rows):
-              pre_p rows: [r0 = primary view 1,        r2 = primary view 2]
-              pre_s rows: [r3 = secondary view 1 -> 2, r1 = secondary view 2 -> 1]
-            chain v=0 has slots (r0, r1); chain v=1 has slots (r2, r3).
-            slot-a keys come from pre_p rows (chain of their own view);
-            slot-b keys from pre_s rows, which sit in FLIPPED view order.
+              pre_p rows: [primary view 1,                primary view 2]
+              pre_s rows: [secondary: v1 pts @ view 2,    secondary: v2 pts @ view 1]
+            i.e. chain v's slots both live in ROW v (natural cross order) —
+            slot-a keys come from pre_p, slot-b keys from pre_s, same row.
             The folded key product rides out of the W1 kernel while the
             activation is in VMEM."""
             pixel_val = start[:, :, None, :] + (end - start)[:, :, None, :] * tvals[..., None]
@@ -399,35 +415,36 @@ class CoPoNeRF(nn.Module):
             pt, _, _, _ = G.get_3d_point_epipolar(
                 lf_coords, pixel_val, ctx_flat_c2w, H, W, ctx_flat_intr
             )
-            pt_view1 = G.encode_relative_point(pt, crel_v1).reshape(B, V, n_rays, S_, 3)
-            pt_view2 = G.encode_relative_point(pt, crel_v2).reshape(B, V, n_rays, S_, 3)
-            pt_v1_c1 = pt_view1[:, 0]
-            pt_v1_c2 = pt_view1[:, 1]
-            pt_v2_c1 = pt_view2[:, 0]
-            pt_v2_c2 = pt_view2[:, 1]
+            # own-view (primary) and cross-view (secondary) coordinates in
+            # flat row layout: row v of pt_cross is row v's point in the
+            # OTHER view's frame.  Natural cross order means samples_s /
+            # pt_secondary come out with view rows already flipped relative
+            # to the old [pt_v1_c2, pt_v2_c1] stacking — exactly the order
+            # the consumers (kpre sum, weighted_latent slot-b) need, so the
+            # explicit [:, ::-1] flips there are gone (reference analogue
+            # of the flip: CoPoNeRF.py:336-373 cross-view reprojection).
+            pt_own = G.encode_relative_point(pt, crel_diag)
+            pt_cross = G.encode_relative_point(pt, crel_other)
+            px_cross = norm_px(
+                G.project(pt_cross[..., 0], pt_cross[..., 1], pt_cross[..., 2], intr_other)[..., :2]
+            )
+            # secondary (cross-view reprojected) features, zeros padding,
+            # sampled from the view-row-swapped tables
+            px_flat = tokf(px_cross, S_)
+            samples_s = [sample(z, px_flat, "zeros") for z in z_sw]
 
-            px_v2_c1 = norm_px(G.project(pt_v2_c1[..., 0], pt_v2_c1[..., 1], pt_v2_c1[..., 2], intr_v2)[..., :2])
-            px_v1_c2 = norm_px(G.project(pt_v1_c2[..., 0], pt_v1_c2[..., 1], pt_v1_c2[..., 2], intr_v1)[..., :2])
-
-            # secondary (cross-view reprojected) features, zeros padding
-            px_stack = tokf(jnp.stack([px_v1_c2, px_v2_c1], axis=1).reshape(B * V, n_rays, S_, 2), S_)
-            samples_s = sample_all(px_stack, "zeros")
-
-            pt_v1_c1 = jax.lax.stop_gradient(scrub(pt_v1_c1))
-            pt_v2_c2 = jax.lax.stop_gradient(scrub(pt_v2_c2))
-            pt_v1_c2 = scrub(pt_v1_c2)
-            pt_v2_c1 = scrub(pt_v2_c1)
-
-            pt_primary = tokf(jnp.stack([pt_v1_c1, pt_v2_c2], axis=1).reshape(B * V, n_rays, S_, 3), S_)
-            pt_secondary = tokf(jnp.stack([pt_v1_c2, pt_v2_c1], axis=1).reshape(B * V, n_rays, S_, 3), S_)
+            pt_primary = tokf(jax.lax.stop_gradient(scrub(pt_own)), S_)
+            pt_secondary = tokf(scrub(pt_cross), S_)
 
             pre_p, ka = pre_act(samples_p, pt_primary, fk_a)
             pre_s, kb = pre_act(samples_s, pt_secondary, fk_b)
             # token-grid shape in the active order
             tg_ = (B, V, S_, n_rays) if smaj else (B, V, n_rays, S_)
+            # no view flip on kb: samples_s/pt_secondary are already in the
+            # natural cross row order (see above)
             kpre = (
                 ka.reshape(*tg_, -1)
-                + kb.reshape(*tg_, -1)[:, ::-1]
+                + kb.reshape(*tg_, -1)
                 + fk_bias.astype(cd)
             )
             kv_bv = self.key_map_2(nn.relu(kpre))                          # (*tg_, 128)
@@ -512,15 +529,16 @@ class CoPoNeRF(nn.Module):
 
         def weighted_latent(w_list):
             """sum_{v,s} w[v,s] * latent_value([e_2v || e_2v+1]) across all
-            stages, with the linear maps deferred to per-ray tokens.  The
-            view flip for the slot-b tensors is applied to the (tiny)
-            weights, not the activations.  Weights arrive RAY-MAJOR
+            stages, with the linear maps deferred to per-ray tokens.
+            Slot-b activations arrive in natural cross row order, so both
+            slots use the same weights.  Weights arrive RAY-MAJOR
             (B, V, N, S_st) per stage; the joint softmax sums to 1 over all
             stages, so the folded bias rides once."""
             ua = ub = None
             for st, w_bv in zip(stages, w_list):
                 a = wsum(w_bv, st["pre_p"], st["S"])
-                b2 = wsum(w_bv[:, ::-1], st["pre_s"], st["S"])
+                # pre_s rows are natural cross order: no weight flip needed
+                b2 = wsum(w_bv, st["pre_s"], st["S"])
                 ua = a if ua is None else ua + a
                 ub = b2 if ub is None else ub + b2
             return ua @ flv_a + ub @ flv_b + flv_bias                      # (B, N, 416)
