@@ -388,16 +388,23 @@ def onehot_matmul_sample(
     return out[:, :P]
 
 
-def _kernel_transpose(idx_ref, w_ref, g_ref, out_ref, *, block_hw, block_p):
-    """dL/dtable = M^T @ g, accumulated over point chunks."""
+def _kernel_transpose(idx_ref, w_ref, g_ref, out_ref, *, block_hw, block_p, build_dtype):
+    """dL/dtable = M^T @ g, accumulated over point chunks.
+
+    The dense one-hot build (4 iota-compares + selects over the
+    (block_hw, block_p) tile) dominates, not the MXU dot — build directly
+    in ``build_dtype`` (bf16 doubles VPU element throughput; the dot input
+    was cast to bf16 anyway, so the only extra rounding is on rare
+    duplicate-corner adds at border clamps)."""
     pc = pl.program_id(2)
     idx = idx_ref[0]          # (BLOCK_P, 4)
     w = w_ref[0]              # (BLOCK_P, 4)
     hb = pl.program_id(1)
     ids = jax.lax.broadcasted_iota(jnp.int32, (block_hw, block_p), 0) + hb * block_hw
-    mt = jnp.zeros((block_hw, block_p), jnp.float32)
+    zero = jnp.zeros((), build_dtype)
+    mt = jnp.zeros((block_hw, block_p), build_dtype)
     for c in range(4):
-        mt = mt + jnp.where(ids == idx[:, c][None, :], w[:, c][None, :], 0.0)
+        mt = mt + jnp.where(ids == idx[:, c][None, :], w[:, c][None, :].astype(build_dtype), zero)
     part = jnp.dot(
         mt.astype(jnp.bfloat16), g_ref[0].astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
@@ -412,10 +419,20 @@ def _kernel_transpose(idx_ref, w_ref, g_ref, out_ref, *, block_hw, block_p):
         out_ref[0] = (out_ref[0].astype(jnp.float32) + part).astype(out_ref.dtype)
 
 
-def onehot_transpose_matmul(g, corner_idx, corner_w, HW: int, block_hw: int = 512, block_p: int = 2048):
-    """g: (B, P, C) cotangent -> dtable (B, HW, C)."""
+def onehot_transpose_matmul(g, corner_idx, corner_w, HW: int, block_hw: int = 1024,
+                            block_p: int = 2048, build_dtype=jnp.float32):
+    """g: (B, P, C) cotangent -> dtable (B, HW, C).
+
+    Block sizing (measured on v5e at the train-step 256^2 backward shape,
+    B=12 P=12288 C=64 HW=65536; scripts/probe_transpose.py): block_hw
+    1024 = 36.2 ms vs 512 = 54.3 ms vs 256 = 87.2 ms — larger hw blocks
+    amortize the per-(hw, p)-cell output read-modify-write; 2048 fails to
+    compile (VMEM).  Raising block_p past 2048 fails (mt tile VMEM), and a
+    bf16 one-hot build stalls Mosaic compilation (mixed i32-compare/bf16-
+    select relayout) — both measured, do not retry blindly."""
     B, P, C = g.shape
     block_hw = min(block_hw, HW)
+    block_p = min(block_p, max(P, 1))
     pad_p = (-P) % block_p
     if pad_p:
         g = jnp.pad(g, ((0, 0), (0, pad_p), (0, 0)))
@@ -425,7 +442,9 @@ def onehot_transpose_matmul(g, corner_idx, corner_w, HW: int, block_hw: int = 51
     pad_hw = (-HW) % block_hw
     HWp = HW + pad_hw
     grid = (B, HWp // block_hw, Pp // block_p)
-    kernel = functools.partial(_kernel_transpose, block_hw=block_hw, block_p=block_p)
+    kernel = functools.partial(
+        _kernel_transpose, block_hw=block_hw, block_p=block_p, build_dtype=build_dtype
+    )
     interpret = jax.default_backend() not in ("tpu", "axon")
     out = pl.pallas_call(
         kernel,
