@@ -42,10 +42,13 @@ CF_DEFAULT = (16, 8)
 
 def main():
     cf = CF_DEFAULT
+    chunk = CHUNK
     for a in sys.argv[1:]:
         if a.startswith("--cf"):
             ab = a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1]
             cf = tuple(int(x) for x in ab.split(","))
+        if a.startswith("--chunk"):
+            chunk = int(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
     import jax
 
     from coponerf_tpu.utils.jax_setup import enable_compilation_cache
@@ -72,12 +75,12 @@ def main():
     batch = jax.tree.map(jnp.asarray, batch_np)
     variables = fast_init(model, batch, val=False, train=False)
 
-    n_chunks = n_rays // CHUNK
+    n_chunks = n_rays // chunk
 
     def chunk_query(b, i):
         q = dict(b["query"])
-        q["uv"] = jax.lax.dynamic_slice_in_dim(b["query"]["uv"], i * CHUNK, CHUNK, axis=2)
-        q["rgb"] = jax.lax.dynamic_slice_in_dim(b["query"]["rgb"], i * CHUNK, CHUNK, axis=2)
+        q["uv"] = jax.lax.dynamic_slice_in_dim(b["query"]["uv"], i * chunk, chunk, axis=2)
+        q["rgb"] = jax.lax.dynamic_slice_in_dim(b["query"]["rgb"], i * chunk, chunk, axis=2)
         return {"context": b["context"], "query": q}
 
     encode = jax.jit(lambda v, b: model.apply(v, b, train=False, method="encode"))

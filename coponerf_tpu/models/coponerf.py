@@ -21,7 +21,7 @@ All feature maps are NHWC; sample tensors are (B*V, rays, samples, C).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import flax.struct
@@ -61,6 +61,13 @@ class SceneState:
     flows: Tuple[jnp.ndarray, ...]      # (flow, flow_flip, mapping_fwd, mapping_bwd)
     mask_bwd: jnp.ndarray               # (B, up, up) cyclic-consistency mask (bwd)
     kps_flow_bwd: jnp.ndarray           # (B, 2, up, up) upsampled bwd flow for flow2kps
+    # fast-path caches of the full-res (256^2) table, built once per pair
+    # under cfg.fast_sampling (None otherwise): the bf16 cast for primary
+    # border sampling and the view-row-swapped + 2-texel-zero-ring-padded
+    # bf16 table for secondary zeros sampling.  Chunk-invariant: hoisting
+    # them out of render() removes a per-chunk cast/pad HBM copy each.
+    z0_bf16: Optional[jnp.ndarray] = None
+    z0_pad_sw: Optional[jnp.ndarray] = None
 
 
 class CoPoNeRF(nn.Module):
@@ -69,10 +76,12 @@ class CoPoNeRF(nn.Module):
     def setup(self):
         c = self.cfg
         self.encoder = ResNet34Encoder(name="encoder")
+        ufc_dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
         self.feature_cost_aggregation = UFC(
             nhead=c.corr_heads,
             remat=c.remat_ufc,
             layer_nums=tuple(c.ufc_layer_nums),
+            dtype=ufc_dt,
             name="feature_cost_aggregation",
         )
         self.cross_attention = CrossBlock(name="cross_attention")
@@ -135,7 +144,10 @@ class CoPoNeRF(nn.Module):
         cd = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
         with jax.named_scope("encoder"):
             z_feats = self.encoder(rgb.astype(cd), train=train)
-            z_feats = [z.astype(jnp.float32) for z in z_feats]
+            if self.cfg.compute_dtype != "bfloat16":
+                # exact path: UFC runs f32.  Under bf16 the UFC consumes the
+                # encoder latents directly (its own compute dtype is bf16).
+                z_feats = [z.astype(jnp.float32) for z in z_feats]
             z_conv = self.conv_map(rgb)
 
         with jax.named_scope("ufc"):
@@ -148,7 +160,9 @@ class CoPoNeRF(nn.Module):
         cx = intr_norm[:, 0, 0, 2][:, None]
         cy = intr_norm[:, 0, 1, 2][:, None]
 
-        tokens = feat_list[-1].reshape(B * V, -1, feat_list[-1].shape[-1])
+        # pose head stays f32 (tokens may be bf16 under the fast config; pose
+        # regression is the precision-sensitive output of the encode phase)
+        tokens = feat_list[-1].reshape(B * V, -1, feat_list[-1].shape[-1]).astype(jnp.float32)
         with jax.named_scope("pose_head"):
             pose_feat = self.cross_attention(tokens, c, (fx, fy, cx, cy)).reshape(B, -1)
 
@@ -175,9 +189,20 @@ class CoPoNeRF(nn.Module):
         kps_flow_bwd = resize_nchw(flows[1], (up, up), align_corners=False) * (
             up / flows[1].shape[-2]
         )
+        z0_bf16 = z0_pad_sw = None
+        if self.cfg.fast_sampling:
+            for zl in z:
+                if zl.shape[1] * zl.shape[2] > 4096:  # the full-res table
+                    z0_bf16 = zl.astype(jnp.bfloat16)
+                    bv = zl.shape[0]
+                    zsw = z0_bf16.reshape(bv // 2, 2, *zl.shape[1:])[:, ::-1]
+                    z0_pad_sw = jnp.pad(
+                        zsw.reshape(zl.shape), ((0, 0), (2, 2), (2, 2), (0, 0))
+                    )
         return SceneState(
             z=z, rel_pose=rel_pose, flows=tuple(flows),
             mask_bwd=mask_bwd.astype(jnp.float32), kps_flow_bwd=kps_flow_bwd,
+            z0_bf16=z0_bf16, z0_pad_sw=z0_pad_sw,
         )
 
     # ------------------------------------------------------------------ #
@@ -269,6 +294,10 @@ class CoPoNeRF(nn.Module):
                 t = t.transpose(0, 2, 1, 3)
             return t.reshape(t.shape[0], n_rays * S_, -1)
 
+        # encode-cached fast-path variants of the full-res table (the cast /
+        # pad is chunk-invariant; see SceneState)
+        use_z0_cache = smaj and state.z0_bf16 is not None
+
         if cfg.fast_sampling:
             def sample(z, p, mode):
                 # banded one-hot for the <=64^2 levels under sample-major
@@ -293,6 +322,12 @@ class CoPoNeRF(nn.Module):
                 # formulations lose to it (grid-clamp: 421 ms; windowed
                 # bulk-DMA blocks: ~2x the gather; measured) — see
                 # ops/pallas/bilinear_sample.py for the kernels
+                if use_z0_cache:
+                    from coponerf_tpu.ops.grid_sample import grid_sample as _gs_plain
+
+                    if mode == "border":
+                        return _gs_plain(state.z0_bf16, p, "border")
+                    return _gs_plain(state.z0_pad_sw, p, "zeros", prepadded=True)
                 return grid_sample_tablegrad(z.astype(jnp.bfloat16), p, mode)
         else:
             def sample(z, p, mode):

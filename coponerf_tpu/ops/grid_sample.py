@@ -36,16 +36,26 @@ def grid_sample(
     grid: jnp.ndarray,
     padding_mode: str = "zeros",
     align_corners: bool = False,
+    prepadded: bool = False,
 ) -> jnp.ndarray:
     """Sample ``image`` (B, H, W, C) at ``grid`` (B, ..., 2) -> (B, ..., C).
 
     grid[..., 0] is x (width), grid[..., 1] is y (height), both in [-1, 1].
     NaN/Inf coordinates produce zeros under ``zeros`` padding and border
     pixels under ``border`` padding.
+
+    ``prepadded`` (zeros mode only): the caller supplies ``image`` already
+    wrapped in the 2-texel zero ring (content dims = H-4, W-4).  Hoists the
+    per-call jnp.pad out of chunked render loops where the table is
+    loop-invariant (a per-chunk HBM copy otherwise, trace-verified).
     """
     if padding_mode not in ("zeros", "border"):
         raise ValueError(f"unsupported padding_mode: {padding_mode}")
+    if prepadded and padding_mode != "zeros":
+        raise ValueError("prepadded requires padding_mode='zeros'")
     B, H, W, C = image.shape
+    if prepadded:
+        H, W = H - 4, W - 4  # content dims; index math below re-adds the ring
     batch_shape = grid.shape[:-1]
 
     x = _unnormalize(grid[..., 0].astype(jnp.float32), W, align_corners)
@@ -69,7 +79,8 @@ def grid_sample(
             jnp.nan_to_num(y, nan=-_COORD_CLIP, posinf=_COORD_CLIP, neginf=-_COORD_CLIP),
             -_COORD_CLIP, _COORD_CLIP,
         ) + 2.0
-        image = jnp.pad(image, ((0, 0), (2, 2), (2, 2), (0, 0)))
+        if not prepadded:
+            image = jnp.pad(image, ((0, 0), (2, 2), (2, 2), (0, 0)))
         H, W = H + 4, W + 4
 
     x0f = jnp.floor(x)

@@ -189,3 +189,32 @@ def test_fast_render_matches_exact(tiny_setup):
         assert np.abs(a - b).mean() / scale < 2e-2, (val, np.abs(a - b).max())
         wa = np.asarray(out_e["at_wt"]); wb = np.asarray(out_f["at_wt"])
         assert np.abs(wa - wb).mean() < 2e-2
+
+
+@pytest.mark.slow
+def test_fast_render_big_level_cache_matches_exact():
+    """At >=128^2 the full-res table takes the cached fast path (SceneState
+    z0_bf16 / z0_pad_sw built in encode: pre-cast border table and pre-padded
+    view-swapped zeros table).  Must match the exact f32 path to bf16-level
+    error — pins the cache wiring (mode discrimination, row swap, zero ring)
+    that the tiny-image tests never reach."""
+    import dataclasses
+
+    img = 128
+    cfg = ModelConfig(mask_upsample=img, npoints=8)
+    model = CoPoNeRF(cfg)
+    batch_np, _ = make_batch(batch_size=1, image_size=img, n_rays=24, seed=3)
+    batch = jax.tree.map(jnp.asarray, batch_np)
+    variables = fast_init(model, batch, val=False, train=False)
+    fast_model = CoPoNeRF(dataclasses.replace(
+        cfg, fast_sampling=True, compute_dtype="bfloat16"))
+
+    out_e = model.apply(variables, batch, val=True, train=False)
+    # the sample-major cached path is the encode/render split (bench/eval)
+    state = fast_model.apply(variables, batch, train=False, method="encode")
+    assert state.z0_bf16 is not None and state.z0_pad_sw is not None
+    out_f = fast_model.apply(variables, batch, state, val=True, method="render")
+    a, b = np.asarray(out_e["rgb"]), np.asarray(out_f["rgb"])
+    assert np.isfinite(b).all()
+    scale = np.abs(a).mean() + 1e-6
+    assert np.abs(a - b).mean() / scale < 2e-2, np.abs(a - b).max()

@@ -1,5 +1,6 @@
 """Ops vs torch oracles: bilinear resize, grid_sample, correlation/soft-argmax."""
 
+import jax
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -99,3 +100,53 @@ def test_interpolate4d_matches_torch_two_pass():
     t = F.interpolate(t, size=(8, 8), mode="bilinear", align_corners=True)
     ref = t.reshape(B, C, 8, 8, 8, 8).permute(0, 1, 4, 5, 2, 3).numpy()
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_conv4d_3d_impl_matches_2d():
+    """Conv4d's transpose-free 3-spatial-dim formulation must match the
+    fold-into-batch conv2d formulation (same params) on both the symmetric
+    stage-0 shape and the strided feat-to-corr shapes, fwd and grad."""
+    import coponerf_tpu.models.conv4d as c4
+
+    cases = [
+        ((2, 8, 256, 256), (16, 16), (16, 16), c4.Conv4d(8, (3,) * 4, (1,) * 4, (1,) * 4)),
+        ((1, 1, 1024, 1024), (32, 32), (32, 32), c4.Conv4d(8, (3,) * 4, (2,) * 4, (1,) * 4)),
+        ((1, 1, 1024, 1024), (32, 32), (32, 32), c4.Conv4d(8, (5,) * 4, (4,) * 4, (2,) * 4)),
+    ]
+    prev = c4.CONV4D_IMPL
+    try:
+        for shape, qhw, shw, mod in cases:
+            x = jnp.asarray(RNG.randn(*shape).astype(np.float32))
+            c4.CONV4D_IMPL = "2d"
+            v = mod.init(jax.random.PRNGKey(0), x, qhw, shw)
+
+            def loss(v, impl):
+                c4.CONV4D_IMPL = impl
+                o, q, s = mod.apply(v, x, qhw, shw)
+                return jnp.sum(o * jnp.cos(o)), (o, q, s)
+
+            (l2, (o2, q2, s2)), g2 = jax.value_and_grad(loss, has_aux=True)(v, "2d")
+            (l3, (o3, q3, s3)), g3 = jax.value_and_grad(loss, has_aux=True)(v, "3d")
+            assert (q2, s2) == (q3, s3)
+            np.testing.assert_allclose(np.asarray(o2), np.asarray(o3), atol=2e-5)
+            scale = float(jnp.abs(o2).mean()) + 1e-6
+            for a, b in zip(jax.tree.leaves(g2), jax.tree.leaves(g3)):
+                err = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-6)
+                assert err < 1e-4, (err, scale)
+    finally:
+        c4.CONV4D_IMPL = prev
+
+
+def test_grid_sample_prepadded_matches_unpadded():
+    """The prepadded zeros-mode path (caller supplies the 2-texel zero ring,
+    used by the render fast path to hoist the pad out of the chunk loop)
+    must be bitwise identical to the standard zeros path."""
+    from coponerf_tpu.ops.grid_sample import grid_sample
+
+    img = jnp.asarray(RNG.randn(2, 16, 12, 5).astype(np.float32))
+    grid = jnp.asarray((RNG.rand(2, 33, 2).astype(np.float32) * 4 - 2))
+    grid = grid.at[0, 0].set(jnp.nan)
+    a = grid_sample(img, grid, padding_mode="zeros")
+    padded = jnp.pad(img, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    b = grid_sample(padded, grid, padding_mode="zeros", prepadded=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
