@@ -16,13 +16,19 @@ materialized only transiently inside the conv/pool ops.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax.lax as lax
 import jax.numpy as jnp
 
 from coponerf_tpu.models.layers import GroupNormND, torch_kernel_init, torch_bias_init
+
+# Conv4d branch formulation: "2d" folds the untouched pair into the batch of a
+# 2D conv (one grouped conv when symmetric); "3d" runs each branch as one conv
+# with three spatial dims directly on the flattened layout (no transposes).
+# Module-level so perf probes can A/B it; the measured default is set here.
+CONV4D_IMPL = "2d"
 
 
 def maxpool_pair_flat(x: jnp.ndarray, size: int, pair: str, qhw: Tuple[int, int], shw: Tuple[int, int]):
@@ -82,11 +88,14 @@ class Conv4d(nn.Module):
     kernel_size: Tuple[int, int, int, int]
     stride: Tuple[int, int, int, int]
     padding: Tuple[int, int, int, int]
+    dtype: Any = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, qhw: Tuple[int, int], shw: Tuple[int, int]):
         """x: (B, L, Hq*Wq, Hs*Ws) -> (B, L', Hq'*Wq', Hs'*Ws'), plus the new
         spatial dims."""
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         B, L, Q, S = x.shape
         k, s, p = self.kernel_size, self.stride, self.padding
         change_supp = s[-1] > 1 or (s[0] == 1 and k[0] == 1)
@@ -97,11 +106,39 @@ class Conv4d(nn.Module):
 
         kq, bq = _ConvParams(self.out_channels, L, (k[0], k[1]), name="query_conv")()
         ks_, bs = _ConvParams(self.out_channels, L, (k[2], k[3]), name="supp_conv")()
+        if self.dtype is not None:
+            kq, bq = kq.astype(self.dtype), bq.astype(self.dtype)
+            ks_, bs = ks_.astype(self.dtype), bs.astype(self.dtype)
 
         hq, wq = qhw_q  # query-branch conv spatial dims
         hs, ws = shw_s  # support-branch conv spatial dims
         Sq = xq_in.shape[-1]
         Qs = xs_in.shape[-2]
+
+        if CONV4D_IMPL == "3d":
+            # transpose-free formulation: run each branch as ONE conv with
+            # THREE spatial dims directly on the flattened (B, L, ...) layout,
+            # making the folded pair a trivial (kernel-1) spatial axis instead
+            # of materializing (B*S, h, w, L) transposes (which put the tiny
+            # L in the lane dimension and cost 4 HBM copies fwd + more bwd).
+            xq5 = xq_in.reshape(B, L, hq, wq, Sq)
+            xs5 = xs_in.reshape(B, L, Qs, hs, ws)
+            oq = lax.conv_general_dilated(
+                xq5, kq[:, :, None], (s[0], s[1], 1),
+                ((p[0], p[0]), (p[1], p[1]), (0, 0)),
+                dimension_numbers=("NCHWD", "HWDIO", "NCHWD"),
+            )
+            os_ = lax.conv_general_dilated(
+                xs5, ks_[None], (1, s[2], s[3]),
+                ((0, 0), (p[2], p[2]), (p[3], p[3])),
+                dimension_numbers=("NCDHW", "DHWIO", "NCDHW"),
+            )
+            hqo, wqo = oq.shape[2:4]
+            hso, wso = os_.shape[3:5]
+            bias = (bq + bs).reshape(1, self.out_channels, 1, 1)
+            xq = oq.reshape(B, self.out_channels, hqo * wqo, Sq)
+            xs = os_.reshape(B, self.out_channels, Qs, hso * wso)
+            return xq + xs + bias, (hqo, wqo), (hso, wso)
 
         # query branch: conv over (Hq, Wq), support folded into batch
         xq = jnp.transpose(xq_in.reshape(B, L, hq, wq, Sq), (0, 4, 2, 3, 1)).reshape(B * Sq, hq, wq, L)
@@ -147,11 +184,12 @@ class Encoder4D(nn.Module):
     stride: Sequence[Tuple[int, int, int, int]]
     padding: Sequence[Tuple[int, int, int, int]]
     group: Sequence[int] = (1,)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, qhw: Tuple[int, int], shw: Tuple[int, int]):
         for i, (k, s, p) in enumerate(zip(self.kernel_size, self.stride, self.padding)):
-            x, qhw, shw = Conv4d(self.corr_levels[i + 1], k, s, p, name=f"conv4d_{i}")(x, qhw, shw)
+            x, qhw, shw = Conv4d(self.corr_levels[i + 1], k, s, p, self.dtype, name=f"conv4d_{i}")(x, qhw, shw)
             x = GroupNormND(self.group[i], self.corr_levels[i + 1], name=f"gn_{i}")(x)
             x = nn.relu(x)
         return x, qhw, shw

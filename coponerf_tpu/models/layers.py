@@ -193,13 +193,16 @@ def group_norm_nd(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, num_gro
     b, c = x.shape[:2]
     spatial = x.shape[2:]
     g = num_groups
-    xg = x.reshape(b, g, -1)
+    dt = x.dtype
+    # statistics always in f32 (a no-op upcast on the exact path; required
+    # for stability when the volume pipeline runs in bf16)
+    xg = x.astype(jnp.float32).reshape(b, g, -1)
     mean = jnp.mean(xg, axis=-1, keepdims=True)
     var = jnp.var(xg, axis=-1, keepdims=True)
-    xg = (xg - mean) / jnp.sqrt(var + eps)
+    xg = ((xg - mean) / jnp.sqrt(var + eps)).astype(dt)
     x = xg.reshape(b, c, *spatial)
     shape = (1, c) + (1,) * len(spatial)
-    return x * scale.reshape(shape) + bias.reshape(shape)
+    return x * scale.astype(dt).reshape(shape) + bias.astype(dt).reshape(shape)
 
 
 class GroupNormND(nn.Module):

@@ -16,7 +16,7 @@ row-major (B, H*W, C); feature maps are NHWC.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -49,9 +49,12 @@ def linear_attention(q, k, v, eps: float = 1e-6):
 
 
 def correlation_tokens_flat(src_tokens: jnp.ndarray, trg_tokens: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """Cosine correlation between token sequences (B, N, C) -> (B, 1, N, N)."""
-    src = l2_normalize_channels(src_tokens, eps)
-    trg = l2_normalize_channels(trg_tokens, eps)
+    """Cosine correlation between token sequences (B, N, C) -> (B, 1, N, N).
+    Normalization runs in f32 (stability under the bf16 volume pipeline; a
+    no-op on the f32 path); the einsum runs in the input dtype."""
+    dt = src_tokens.dtype
+    src = l2_normalize_channels(src_tokens.astype(jnp.float32), eps).astype(dt)
+    trg = l2_normalize_channels(trg_tokens.astype(jnp.float32), eps).astype(dt)
     return jnp.einsum("bnc,bmc->bnm", src, trg)[:, None]
 
 
@@ -95,12 +98,13 @@ class TokenMLP(nn.Module):
     d_model: int
     hidden: int
     feat_hw: Tuple[int, int]
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         b, n, _ = x.shape
         h, w = self.feat_hw
-        x = Dense(self.hidden, name="fc1")(x)
+        x = Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = x.reshape(b, h, w, self.hidden)
         from coponerf_tpu.models.layers import torch_bias_init, torch_kernel_init
 
@@ -111,11 +115,12 @@ class TokenMLP(nn.Module):
             feature_group_count=self.hidden,
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init(9),
+            dtype=self.dtype,
             name="dwconv",
         )(x)
         x = x.reshape(b, n, self.hidden)
         x = nn.gelu(x, approximate=False)
-        x = Dense(self.d_model, name="fc2")(x)
+        x = Dense(self.d_model, dtype=self.dtype, name="fc2")(x)
         return x
 
 
@@ -140,27 +145,29 @@ class UFCLayer(nn.Module):
     feat_to_corr_kernel: int = 3
     feat_to_corr_stride: int = 1
     feat_to_corr_pad: int = 1
+    dtype: Any = None  # compute dtype (params stay f32; norms keep f32 stats)
 
     def setup(self):
         h = self.nhead
+        dt = self.dtype
         self.dim = self.d_model // h
-        self.q_proj = Dense(self.d_model, name="q_proj")
-        self.k_proj = Dense(self.d_model, name="k_proj")
-        self.v_proj = Dense(self.d_model, name="v_proj")
-        self.v_proj_corr = Encoder4D(**_encoder4d_args((h, h), 3, 1, 1, (1,)), name="v_proj_corr")
-        self.mlp = TokenMLP(self.d_model, int(self.d_model * self.expand_ratio), self.feat_size, name="mlp")
-        self.mlp_corr = Encoder4D(**_encoder4d_args((h, h * 4, h), 3, 1, 1, (1, 1)), name="mlp_corr")
-        self.mlp_cross = TokenMLP(self.d_model, int(self.d_model * self.expand_ratio), self.feat_size, name="mlp_cross")
-        self.mlp_refine_corr = Encoder4D(**_encoder4d_args((h, h * 4, h), 3, 1, 1, (1, 1)), name="mlp_refine_corr")
-        self.mlp_refine_corr2 = Encoder4D(**_encoder4d_args((h, h * 4, h), 3, 1, 1, (1, 1)), name="mlp_refine_corr2")
+        self.q_proj = Dense(self.d_model, dtype=dt, name="q_proj")
+        self.k_proj = Dense(self.d_model, dtype=dt, name="k_proj")
+        self.v_proj = Dense(self.d_model, dtype=dt, name="v_proj")
+        self.v_proj_corr = Encoder4D(**_encoder4d_args((h, h), 3, 1, 1, (1,)), dtype=dt, name="v_proj_corr")
+        self.mlp = TokenMLP(self.d_model, int(self.d_model * self.expand_ratio), self.feat_size, dtype=dt, name="mlp")
+        self.mlp_corr = Encoder4D(**_encoder4d_args((h, h * 4, h), 3, 1, 1, (1, 1)), dtype=dt, name="mlp_corr")
+        self.mlp_cross = TokenMLP(self.d_model, int(self.d_model * self.expand_ratio), self.feat_size, dtype=dt, name="mlp_cross")
+        self.mlp_refine_corr = Encoder4D(**_encoder4d_args((h, h * 4, h), 3, 1, 1, (1, 1)), dtype=dt, name="mlp_refine_corr")
+        self.mlp_refine_corr2 = Encoder4D(**_encoder4d_args((h, h * 4, h), 3, 1, 1, (1, 1)), dtype=dt, name="mlp_refine_corr2")
         f2c = _encoder4d_args((1, h), self.feat_to_corr_kernel, self.feat_to_corr_stride, self.feat_to_corr_pad, (1,))
-        self.feat_to_corr1 = Encoder4D(**f2c, name="feat_to_corr1")
-        self.feat_to_corr2 = Encoder4D(**f2c, name="feat_to_corr2")
-        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
-        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
-        self.v_cross = Dense(self.d_model, name="v_cross")
-        self.norm_cross1 = nn.LayerNorm(epsilon=1e-5, name="norm_cross1")
-        self.norm_cross2 = nn.LayerNorm(epsilon=1e-5, name="norm_cross2")
+        self.feat_to_corr1 = Encoder4D(**f2c, dtype=dt, name="feat_to_corr1")
+        self.feat_to_corr2 = Encoder4D(**f2c, dtype=dt, name="feat_to_corr2")
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm1")
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm2")
+        self.v_cross = Dense(self.d_model, dtype=dt, name="v_cross")
+        self.norm_cross1 = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm_cross1")
+        self.norm_cross2 = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm_cross2")
         self.pos_embed = self.param(
             "pos_embed", _trunc_normal(0.02), (1, self.feat_size[0] ** 2, 1, self.dim)
         )
@@ -181,8 +188,10 @@ class UFCLayer(nn.Module):
         corr_tok = corr_to_feat_tokens(corr, g, g, self.feat_size)  # (B, N, H*S)
         cf = jnp.concatenate([corr_tok, feat], axis=-1)
 
-        query = self.q_proj(cf).reshape(B, -1, self.nhead, self.dim) + self.pos_embed
-        key = self.k_proj(cf).reshape(B, -1, self.nhead, self.dim) + self.pos_embed
+        q0 = self.q_proj(cf).reshape(B, -1, self.nhead, self.dim)
+        pe = self.pos_embed.astype(q0.dtype)
+        query = q0 + pe
+        key = self.k_proj(cf).reshape(B, -1, self.nhead, self.dim) + pe
         value_feat = self.v_proj(feat).reshape(B, -1, self.nhead, self.dim)
 
         vc, _, _ = self.v_proj_corr(corr, g, g)
@@ -219,8 +228,15 @@ class UFCLayer(nn.Module):
         trg_v = self.v_cross(self.norm_cross1(trg_r)).reshape(B, -1, self.nhead, self.dim)
         src_v = self.v_cross(self.norm_cross1(src_r)).reshape(B, -1, self.nhead, self.dim)
 
-        src_attn = jnp.einsum("bhst,bthc->bshc", nn.softmax(corr, axis=-1), trg_v).reshape(B, -1, self.d_model)
-        trg_attn = jnp.einsum("bhst,bshc->bthc", nn.softmax(corr, axis=-2), src_v).reshape(B, -1, self.d_model)
+        # dual softmax in f32 (a no-op on the exact path); attention weights
+        # re-cast to the value dtype for the contraction
+        corr32 = corr.astype(jnp.float32)
+        src_attn = jnp.einsum(
+            "bhst,bthc->bshc", nn.softmax(corr32, axis=-1).astype(trg_v.dtype), trg_v
+        ).reshape(B, -1, self.d_model)
+        trg_attn = jnp.einsum(
+            "bhst,bshc->bthc", nn.softmax(corr32, axis=-2).astype(src_v.dtype), src_v
+        ).reshape(B, -1, self.d_model)
 
         def unpool_tokens(tokens):
             x = tokens.reshape(B, hs, ws, self.d_model)
@@ -276,6 +292,10 @@ class UFC(nn.Module):
     f2c_stride: Sequence[int] = (1, 2, 4)
     f2c_pad: Sequence[int] = (1, 1, 2)
     remat: bool = True  # rematerialize layers under autodiff (activation memory)
+    # compute dtype for the whole volume/token pipeline (params stay f32;
+    # norm statistics, dual-softmax and the final flow correlations +
+    # soft-argmax stay f32).  None = f32 everywhere (the parity path).
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], nview: int = 2):
@@ -299,6 +319,7 @@ class UFC(nn.Module):
                     feat_to_corr_kernel=self.f2c_kernel[s],
                     feat_to_corr_stride=self.f2c_stride[s],
                     feat_to_corr_pad=self.f2c_pad[s],
+                    dtype=self.dtype,
                     name=f"layers_{s}_{i}",
                 )
                 for i in range(self.layer_nums[s])
@@ -308,11 +329,12 @@ class UFC(nn.Module):
         embedding = [
             Encoder4D(
                 **_encoder4d_args((1, self.nhead), self.f2c_kernel[s], self.f2c_stride[s], self.f2c_pad[s], (1,)),
+                dtype=self.dtype,
                 name=f"embedding_{s}",
             )
             for s in range(3)
         ]
-        proj_feat = [Dense(self.feat_dim[s], name=f"proj_feat_{s}") for s in range(3)]
+        proj_feat = [Dense(self.feat_dim[s], dtype=self.dtype, name=f"proj_feat_{s}") for s in range(3)]
 
         src_tok, trg_tok = [], []
         for i, f in enumerate(feats):
@@ -354,7 +376,11 @@ class UFC(nn.Module):
             src_prev, trg_prev = src, trg
             stacked = jnp.stack([src, trg], axis=1).reshape(B2, hw, hw, self.feat_dim[s])
             feat_list.append(stacked)
-            correlations.append((correlation_tokens_flat(src, trg), hw))
+            # flow correlations in f32: they feed soft-argmax, whose expected
+            # coordinate is precision-sensitive (sub-pixel flow targets)
+            correlations.append(
+                (correlation_tokens_flat(src.astype(jnp.float32), trg.astype(jnp.float32)), hw)
+            )
 
         fine = stage_hw[-1]
         ups = [
