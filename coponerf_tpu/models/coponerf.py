@@ -90,7 +90,7 @@ class CoPoNeRF(nn.Module):
         self.translation_regressor = MLPSeq((64, 32, 3), act_first=True, name="translation_regressor")
         self.conv_map = nn.Conv(
             64, (7, 7), padding=3, kernel_init=torch_kernel_init,
-            bias_init=torch_bias_init(3 * 49), name="conv_map",
+            bias_init=torch_bias_init(3 * 49), dtype=ufc_dt, name="conv_map",
         )
 
         latent = c.latent_dim            # 832
