@@ -191,6 +191,29 @@ def test_fast_render_matches_exact(tiny_setup):
         assert np.abs(wa - wb).mean() < 2e-2
 
 
+def test_encode_dtype_wiring():
+    """Under compute_dtype=bfloat16 the UFC pipeline emits bf16 feature
+    latents while the precision-sensitive encode outputs (flows, rel_pose,
+    masks) stay f32; the exact config keeps everything f32."""
+    import dataclasses
+
+    cfg = ModelConfig(mask_upsample=32, npoints=4, ufc_layer_nums=(1, 1, 1))
+    batch_np, _ = make_batch(batch_size=1, image_size=32, n_rays=8, seed=0)
+    batch = jax.tree.map(jnp.asarray, batch_np)
+
+    model = CoPoNeRF(cfg)
+    variables = fast_init(model, batch, val=False, train=False)
+    st = model.apply(variables, batch, train=False, method="encode")
+    assert all(z.dtype == jnp.float32 for z in st.z)
+
+    fast = CoPoNeRF(dataclasses.replace(cfg, compute_dtype="bfloat16", fast_sampling=True))
+    st = fast.apply(variables, batch, train=False, method="encode")
+    assert all(z.dtype == jnp.bfloat16 for z in st.z), [z.dtype for z in st.z]
+    assert st.rel_pose.dtype == jnp.float32
+    assert all(f.dtype == jnp.float32 for f in st.flows)
+    assert st.mask_bwd.dtype == jnp.float32
+
+
 @pytest.mark.slow
 def test_fast_render_big_level_cache_matches_exact():
     """At >=128^2 the full-res table takes the cached fast path (SceneState
