@@ -210,23 +210,25 @@ class UFCLayer(nn.Module):
         msg_corr = msg_corr + mc
         return msg_corr, msg_feat
 
-    def forward_cross(self, corr, src_feat, trg_feat):
+    def forward_cross(self, corr, feat2):
         """Dual-softmax cross-attention feature update
-        (models/aggregation.py:312-340).  corr: (B, H, Q, S) flattened."""
-        B, H, Q, S = corr.shape
+        (models/aggregation.py:312-340).  corr: (B, H, Q, S) flattened;
+        feat2: (2B, N, C) = [src; trg] stacked along batch.  The shared-weight
+        pool/norm/value/MLP stages run ONCE on the stack (the reference calls
+        them per view); only the attention einsums split the halves.  Math is
+        identical — batching a shared-weight module is a pure batch-axis
+        concat."""
+        B = corr.shape[0]
         hs = ws = self.corr_size
         fh, fw = self.feat_size
         p1, p2 = fh // hs, fw // ws
+        B2 = feat2.shape[0]
 
-        def pool_tokens(tokens):
-            x = tokens.reshape(B, hs, p1, ws, p2, self.d_model)
-            return x.mean(axis=(2, 4)).reshape(B, -1, self.d_model)
+        pooled = feat2.reshape(B2, hs, p1, ws, p2, self.d_model).mean(axis=(2, 4))
+        pooled = pooled.reshape(B2, hs * ws, self.d_model)
 
-        src_r = pool_tokens(src_feat)
-        trg_r = pool_tokens(trg_feat)
-
-        trg_v = self.v_cross(self.norm_cross1(trg_r)).reshape(B, -1, self.nhead, self.dim)
-        src_v = self.v_cross(self.norm_cross1(src_r)).reshape(B, -1, self.nhead, self.dim)
+        v = self.v_cross(self.norm_cross1(pooled)).reshape(B2, -1, self.nhead, self.dim)
+        src_v, trg_v = v[:B], v[B:]
 
         # dual softmax in f32 (a no-op on the exact path); attention weights
         # re-cast to the value dtype for the contraction
@@ -238,45 +240,42 @@ class UFCLayer(nn.Module):
             "bhst,bshc->bthc", nn.softmax(corr32, axis=-2).astype(src_v.dtype), src_v
         ).reshape(B, -1, self.d_model)
 
-        def unpool_tokens(tokens):
-            x = tokens.reshape(B, hs, ws, self.d_model)
-            x = jnp.repeat(jnp.repeat(x, p1, axis=1), p2, axis=2)
-            return x.reshape(B, -1, self.d_model)
+        attn2 = jnp.concatenate([src_attn, trg_attn], axis=0)
+        attn2 = attn2.reshape(B2, hs, ws, self.d_model)
+        attn2 = jnp.repeat(jnp.repeat(attn2, p1, axis=1), p2, axis=2).reshape(B2, -1, self.d_model)
 
-        src_attn = unpool_tokens(src_attn)
-        trg_attn = unpool_tokens(trg_attn)
+        feat2 = feat2 + attn2
+        feat2 = feat2 + self.mlp_cross(self.norm_cross2(feat2))
+        return feat2
 
-        src_feat = src_feat + src_attn
-        trg_feat = trg_feat + trg_attn
-        src_feat = src_feat + self.mlp_cross(self.norm_cross2(src_feat))
-        trg_feat = trg_feat + self.mlp_cross(self.norm_cross2(trg_feat))
-        return src_feat, trg_feat
-
-    def __call__(self, corr, src_feat, trg_feat, refine_last_corr: bool = True):
-        # the reference calls forward_attention twice with shared weights
-        # (aggregation.py:343-344); batching the two calls halves the op
-        # count of the heaviest section with identical numerics
+    def __call__(self, corr, feat2, refine_last_corr: bool = True):
+        """corr: (B, H, Q, S); feat2: (2B, N, C) = [src; trg] stacked along
+        batch.  The reference calls forward_attention twice with shared
+        weights (aggregation.py:343-344); batching the two calls (and keeping
+        the feature pair stacked through the whole layer) halves the op count
+        of the shared-weight sections with identical numerics."""
         B = corr.shape[0]
         g = self._grid
         corr2 = jnp.concatenate([corr, jnp.swapaxes(corr, 2, 3)], axis=0)
-        feat2 = jnp.concatenate([src_feat, trg_feat], axis=0)
-        corr_out, feat_out = self.forward_attention(corr2, feat2)
-        corr_src, corr_trg = corr_out[:B], corr_out[B:]
-        src_ref, trg_ref = feat_out[:B], feat_out[B:]
-        corr_r = corr_src + jnp.swapaxes(corr_trg, 2, 3)
-        c_new, _, _ = self.feat_to_corr1(correlation_tokens_flat(src_ref, trg_ref), self.feat_size, self.feat_size)
+        corr_out, feat2 = self.forward_attention(corr2, feat2)
+        corr_r = corr_out[:B] + jnp.swapaxes(corr_out[B:], 2, 3)
+        c_new, _, _ = self.feat_to_corr1(
+            correlation_tokens_flat(feat2[:B], feat2[B:]), self.feat_size, self.feat_size
+        )
         corr_r = corr_r + c_new
         mr, _, _ = self.mlp_refine_corr(corr_r, g, g)
         corr_r = corr_r + mr
 
-        src_ref, trg_ref = self.forward_cross(corr_r, src_ref, trg_ref)
+        feat2 = self.forward_cross(corr_r, feat2)
 
         if refine_last_corr:
-            c_new2, _, _ = self.feat_to_corr2(correlation_tokens_flat(src_ref, trg_ref), self.feat_size, self.feat_size)
+            c_new2, _, _ = self.feat_to_corr2(
+                correlation_tokens_flat(feat2[:B], feat2[B:]), self.feat_size, self.feat_size
+            )
             corr_r = corr_r + c_new2
             mr2, _, _ = self.mlp_refine_corr2(corr_r, g, g)
             corr_r = corr_r + mr2
-        return corr_r, src_ref, trg_ref
+        return corr_r, feat2
 
 
 class UFC(nn.Module):
@@ -336,14 +335,14 @@ class UFC(nn.Module):
         ]
         proj_feat = [Dense(self.feat_dim[s], dtype=self.dtype, name=f"proj_feat_{s}") for s in range(3)]
 
-        src_tok, trg_tok = [], []
+        # token stacks (2B, N, C) = [all src; all trg]: shared-weight modules
+        # (projections, layer MLPs, norms) run ONCE on the stack end-to-end
+        tok2 = []
         for i, f in enumerate(feats):
             h, w, c = f.shape[1:]
             fv = f.reshape(B, nview, h, w, c)
-            src = fv[:, 0].reshape(B, h * w, c)
-            trg = fv[:, 1].reshape(B, h * w, c)
-            src_tok.append(nn.relu(proj_feat[i](src)))
-            trg_tok.append(nn.relu(proj_feat[i](trg)))
+            pair = jnp.concatenate([fv[:, 0], fv[:, 1]], axis=0).reshape(B2, h * w, c)
+            tok2.append(nn.relu(proj_feat[i](pair)))
 
         def interp_tokens(tokens, out_hw):
             b, n, c = tokens.shape
@@ -355,25 +354,24 @@ class UFC(nn.Module):
         feat_list = []
         correlations = []
         corr_res = None
-        src_prev = trg_prev = None
+        ft2_prev = None
         for s in range(3):
             hw = stage_hw[s]
-            src = src_tok[s]
-            trg = trg_tok[s]
+            ft2 = tok2[s]
             # the per-stage correlation uses the RAW projected level features
             # (aggregation.py:532,542); the residual feature upsampling is
             # added separately (aggregation.py:535-536,545-546)
-            corr = correlation_tokens_flat(src, trg)
+            corr = correlation_tokens_flat(ft2[:B], ft2[B:])
             corr, _, _ = embedding[s](corr, (hw, hw), (hw, hw))
             if corr_res is not None:
                 corr = corr_res + corr
             if s > 0:
-                src = interp_tokens(src_prev, (hw, hw)) + src
-                trg = interp_tokens(trg_prev, (hw, hw)) + trg
+                ft2 = interp_tokens(ft2_prev, (hw, hw)) + ft2
             for layer in layers[s]:
-                corr, src, trg = layer(corr, src, trg)
+                corr, ft2 = layer(corr, ft2)
             corr_res = corr
-            src_prev, trg_prev = src, trg
+            ft2_prev = ft2
+            src, trg = ft2[:B], ft2[B:]
             stacked = jnp.stack([src, trg], axis=1).reshape(B2, hw, hw, self.feat_dim[s])
             feat_list.append(stacked)
             # flow correlations in f32: they feed soft-argmax, whose expected
