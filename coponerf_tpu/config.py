@@ -36,6 +36,11 @@ class ModelConfig:
     # rematerialize UFC layers under autodiff (trades ~30% encode FLOPs for
     # the activation memory that otherwise OOMs 256^2 training at batch>3/chip)
     remat_ufc: bool = True
+    # remat policy when remat_ufc: "full" recomputes everything in the
+    # backward; "dots" (jax.checkpoint_policies.dots_saveable) keeps matmul/
+    # einsum outputs resident and recomputes only elementwise/conv work —
+    # less recompute for more activation memory.  A/B via probe_conv4d.py.
+    remat_policy: str = "full"
     # Two-stage coarse-to-fine epipolar sampling (throughput path only,
     # requires fast_sampling): stage A runs the full pipeline at
     # coarse_samples uniform positions, stage B refines fine_samples

@@ -80,6 +80,7 @@ class CoPoNeRF(nn.Module):
         self.feature_cost_aggregation = UFC(
             nhead=c.corr_heads,
             remat=c.remat_ufc,
+            remat_policy=c.remat_policy,
             layer_nums=tuple(c.ufc_layer_nums),
             dtype=ufc_dt,
             name="feature_cost_aggregation",

@@ -291,6 +291,10 @@ class UFC(nn.Module):
     f2c_stride: Sequence[int] = (1, 2, 4)
     f2c_pad: Sequence[int] = (1, 1, 2)
     remat: bool = True  # rematerialize layers under autodiff (activation memory)
+    # "full": recompute everything in backward; "dots": keep matmul/einsum
+    # outputs resident (jax.checkpoint_policies.dots_saveable), recompute
+    # only conv/elementwise work
+    remat_policy: str = "full"
     # compute dtype for the whole volume/token pipeline (params stay f32;
     # norm statistics, dual-softmax and the final flow correlations +
     # soft-argmax stay f32).  None = f32 everywhere (the parity path).
@@ -306,7 +310,17 @@ class UFC(nn.Module):
         B2 = feats[0].shape[0]
         B = B2 // nview
         stage_hw = [f.shape[1] for f in feats]
-        layer_cls = nn.remat(UFCLayer) if self.remat else UFCLayer
+        if self.remat:
+            import jax
+
+            policy = (
+                jax.checkpoint_policies.dots_saveable
+                if self.remat_policy == "dots"
+                else None
+            )
+            layer_cls = nn.remat(UFCLayer, policy=policy)
+        else:
+            layer_cls = UFCLayer
         layers = [
             [
                 layer_cls(

@@ -37,10 +37,13 @@ RAYS = 192
 K = 8
 
 
-def run(impl: str, remat: bool):
+def run(impl: str, remat: bool, policy: str = "full"):
     conv4d.CONV4D_IMPL = impl
     cfg = Config(
-        model=ModelConfig(compute_dtype="bfloat16", fast_sampling=True, remat_ufc=remat),
+        model=ModelConfig(
+            compute_dtype="bfloat16", fast_sampling=True, remat_ufc=remat,
+            remat_policy=policy,
+        ),
         loss=LossConfig(pose=True, cycle=True, ssim=True),
         train=TrainConfig(),
     )
@@ -60,16 +63,16 @@ def run(impl: str, remat: bool):
         state, m = step_fn(state, batch)
         loss0 = float(m["total_train_loss"])
     except Exception as e:  # OOM surfaces here (remat off may not fit)
-        print(f"impl={impl} remat={remat}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
+        print(f"impl={impl} remat={remat}/{policy}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
         return None
-    print(f"impl={impl} remat={remat}: compile+step1 {time.time() - t0:.0f}s loss={loss0:.3f}", flush=True)
+    print(f"impl={impl} remat={remat}/{policy}: compile+step1 {time.time() - t0:.0f}s loss={loss0:.3f}", flush=True)
     t0 = time.time()
     for _ in range(K):
         state, m = step_fn(state, batch)
     loss = float(m["total_train_loss"])  # forces completion
     dt = (time.time() - t0) / K
     print(
-        f"impl={impl} remat={remat}: {dt * 1000:.0f} ms/step "
+        f"impl={impl} remat={remat}/{policy}: {dt * 1000:.0f} ms/step "
         f"({BATCH / dt:.2f} pairs/s/chip) loss={loss:.3f}",
         flush=True,
     )
@@ -78,12 +81,12 @@ def run(impl: str, remat: bool):
 
 def main():
     results = {}
-    combos = [("2d", True), ("3d", True)]
+    combos = [("2d", True, "full"), ("3d", True, "full"), ("2d", True, "dots")]
     if "--skip-remat-off" not in sys.argv:
-        combos += [("2d", False), ("3d", False)]
-    for impl, remat in combos:
-        results[(impl, remat)] = run(impl, remat)
-    print({f"{i}/remat={r}": (f"{v * 1000:.0f}ms" if v else "fail") for (i, r), v in results.items()})
+        combos += [("2d", False, "full"), ("3d", False, "full")]
+    for impl, remat, policy in combos:
+        results[(impl, remat, policy)] = run(impl, remat, policy)
+    print({f"{i}/remat={r}/{p}": (f"{v * 1000:.0f}ms" if v else "fail") for (i, r, p), v in results.items()})
 
 
 if __name__ == "__main__":

@@ -150,3 +150,43 @@ def test_grid_sample_prepadded_matches_unpadded():
     padded = jnp.pad(img, ((0, 0), (2, 2), (2, 2), (0, 0)))
     b = grid_sample(padded, grid, padding_mode="zeros", prepadded=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_ufc_remat_policy_equivalence():
+    """UFC gradients must agree across remat=off / remat(full) / remat(dots):
+    remat with any jax.checkpoint policy is a scheduling transform, not a
+    numerics change (beyond reassociation noise)."""
+    from coponerf_tpu.models.ufc import UFC
+
+    feats = [
+        jnp.asarray(RNG.randn(2, 8 * 2**s, 8 * 2**s, 16).astype(np.float32))
+        for s in range(3)
+    ]
+
+    def build(remat, policy):
+        return UFC(nhead=4, feat_dim=(32, 32, 32), layer_nums=(1, 1, 1),
+                   remat=remat, remat_policy=policy)
+
+    v = build(False, "full").init(jax.random.PRNGKey(0), feats)
+
+    results = {}
+    for key, (remat, policy) in {
+        "off": (False, "full"), "full": (True, "full"), "dots": (True, "dots"),
+    }.items():
+        mod = build(remat, policy)
+
+        def loss(v):
+            feat_list, flows, c = mod.apply(v, feats)
+            return sum(jnp.mean(f * f) for f in feat_list) + jnp.mean(c * c) + jnp.mean(flows[0] ** 2)
+
+        l, g = jax.value_and_grad(loss)(v)
+        results[key] = (float(l), g)
+
+    l0, g0 = results["off"]
+    for key in ("full", "dots"):
+        l1, g1 = results[key]
+        assert abs(l1 - l0) <= 1e-5 * max(1.0, abs(l0))
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            err = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-6)
+            assert err < 2e-3, (key, err)
