@@ -241,3 +241,22 @@ def test_fast_render_big_level_cache_matches_exact():
     assert np.isfinite(b).all()
     scale = np.abs(a).mean() + 1e-6
     assert np.abs(a - b).mean() / scale < 2e-2, np.abs(a - b).max()
+
+
+def test_render_trajectory_one_dispatch(tiny_setup):
+    """eval/trajectory.py: n-frame path rendered with one amortized encode
+    (BASELINE config 5).  Endpoint poses are the two context cameras."""
+    from coponerf_tpu.eval.trajectory import interpolate_poses, render_trajectory
+
+    cfg, model, batch, variables = tiny_setup
+    frames = render_trajectory(model, variables, batch, n_frames=2, image_size=IMG, chunk=512)
+    assert frames.shape == (2, IMG, IMG, 3)
+    assert np.isfinite(frames).all()
+    # path endpoints are exactly the context cameras
+    c2w = np.asarray(batch["context"]["cam2world"])[0]
+    path = interpolate_poses(c2w[0], c2w[1], 5)
+    np.testing.assert_allclose(path[0], c2w[0], atol=1e-6)
+    np.testing.assert_allclose(path[-1], c2w[1], atol=1e-6)
+    for m in path:
+        R = m[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
