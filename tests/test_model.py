@@ -260,3 +260,17 @@ def test_render_trajectory_one_dispatch(tiny_setup):
     for m in path:
         R = m[:3, :3]
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_overlap_table_generator(tiny_setup):
+    """eval/overlap.py: per-scene co-visible-fraction table (the reference
+    ships tables but not the generator)."""
+    from coponerf_tpu.eval.overlap import compute_overlap_table
+
+    cfg, model, batch, variables = tiny_setup
+    item = jax.tree.map(lambda x: np.asarray(x[0]), batch)  # strip batch dim
+    ds = [(item, None, None), (item, None, None)]
+    table = compute_overlap_table(model, variables, ds)
+    assert table.shape == (2, 1)
+    assert np.isfinite(table).all() and (table >= 0).all() and (table <= 1).all()
+    np.testing.assert_allclose(table[0], table[1], atol=1e-6)
