@@ -36,6 +36,11 @@ class ModelConfig:
     # rematerialize UFC layers under autodiff (trades ~30% encode FLOPs for
     # the activation memory that otherwise OOMs 256^2 training at batch>3/chip)
     remat_ufc: bool = True
+    # Conv4d branch formulation: "2d" folds the untouched pair into a conv2d
+    # batch (one grouped conv when symmetric; 4 HBM transposes per Conv4d);
+    # "3d" runs each branch as one conv with three spatial dims on the
+    # flattened layout (no transposes).  A/B'd in scripts/probe_conv4d.py.
+    conv4d_impl: str = "2d"
     # remat policy when remat_ufc: "full" recomputes everything in the
     # backward; "dots" (jax.checkpoint_policies.dots_saveable) keeps matmul/
     # einsum outputs resident and recomputes only elementwise/conv work —

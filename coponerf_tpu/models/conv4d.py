@@ -24,11 +24,10 @@ import jax.numpy as jnp
 
 from coponerf_tpu.models.layers import GroupNormND, torch_kernel_init, torch_bias_init
 
-# Conv4d branch formulation: "2d" folds the untouched pair into the batch of a
+# Conv4d branch formulations (the `impl` field, plumbed from
+# ModelConfig.conv4d_impl): "2d" folds the untouched pair into the batch of a
 # 2D conv (one grouped conv when symmetric); "3d" runs each branch as one conv
 # with three spatial dims directly on the flattened layout (no transposes).
-# Module-level so perf probes can A/B it; the measured default is set here.
-CONV4D_IMPL = "2d"
 
 
 def maxpool_pair_flat(x: jnp.ndarray, size: int, pair: str, qhw: Tuple[int, int], shw: Tuple[int, int]):
@@ -89,6 +88,7 @@ class Conv4d(nn.Module):
     stride: Tuple[int, int, int, int]
     padding: Tuple[int, int, int, int]
     dtype: Any = None  # compute dtype (params stay f32)
+    impl: str = "2d"   # branch formulation, see module docstring
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, qhw: Tuple[int, int], shw: Tuple[int, int]):
@@ -115,7 +115,7 @@ class Conv4d(nn.Module):
         Sq = xq_in.shape[-1]
         Qs = xs_in.shape[-2]
 
-        if CONV4D_IMPL == "3d":
+        if self.impl == "3d":
             # transpose-free formulation: run each branch as ONE conv with
             # THREE spatial dims directly on the flattened (B, L, ...) layout,
             # making the folded pair a trivial (kernel-1) spatial axis instead
@@ -185,11 +185,12 @@ class Encoder4D(nn.Module):
     padding: Sequence[Tuple[int, int, int, int]]
     group: Sequence[int] = (1,)
     dtype: Any = None
+    impl: str = "2d"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, qhw: Tuple[int, int], shw: Tuple[int, int]):
         for i, (k, s, p) in enumerate(zip(self.kernel_size, self.stride, self.padding)):
-            x, qhw, shw = Conv4d(self.corr_levels[i + 1], k, s, p, self.dtype, name=f"conv4d_{i}")(x, qhw, shw)
+            x, qhw, shw = Conv4d(self.corr_levels[i + 1], k, s, p, self.dtype, self.impl, name=f"conv4d_{i}")(x, qhw, shw)
             x = GroupNormND(self.group[i], self.corr_levels[i + 1], name=f"gn_{i}")(x)
             x = nn.relu(x)
         return x, qhw, shw

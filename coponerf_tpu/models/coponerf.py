@@ -81,6 +81,7 @@ class CoPoNeRF(nn.Module):
             nhead=c.corr_heads,
             remat=c.remat_ufc,
             remat_policy=c.remat_policy,
+            conv4d_impl=c.conv4d_impl,
             layer_nums=tuple(c.ufc_layer_nums),
             dtype=ufc_dt,
             name="feature_cost_aggregation",

@@ -146,23 +146,25 @@ class UFCLayer(nn.Module):
     feat_to_corr_stride: int = 1
     feat_to_corr_pad: int = 1
     dtype: Any = None  # compute dtype (params stay f32; norms keep f32 stats)
+    conv4d_impl: str = "2d"  # Conv4d branch formulation (see models/conv4d.py)
 
     def setup(self):
         h = self.nhead
         dt = self.dtype
+        c4i = self.conv4d_impl
         self.dim = self.d_model // h
         self.q_proj = Dense(self.d_model, dtype=dt, name="q_proj")
         self.k_proj = Dense(self.d_model, dtype=dt, name="k_proj")
         self.v_proj = Dense(self.d_model, dtype=dt, name="v_proj")
-        self.v_proj_corr = Encoder4D(**_encoder4d_args((h, h), 3, 1, 1, (1,)), dtype=dt, name="v_proj_corr")
+        self.v_proj_corr = Encoder4D(**_encoder4d_args((h, h), 3, 1, 1, (1,)), dtype=dt, impl=c4i, name="v_proj_corr")
         self.mlp = TokenMLP(self.d_model, int(self.d_model * self.expand_ratio), self.feat_size, dtype=dt, name="mlp")
-        self.mlp_corr = Encoder4D(**_encoder4d_args((h, h * 4, h), 3, 1, 1, (1, 1)), dtype=dt, name="mlp_corr")
+        self.mlp_corr = Encoder4D(**_encoder4d_args((h, h * 4, h), 3, 1, 1, (1, 1)), dtype=dt, impl=c4i, name="mlp_corr")
         self.mlp_cross = TokenMLP(self.d_model, int(self.d_model * self.expand_ratio), self.feat_size, dtype=dt, name="mlp_cross")
-        self.mlp_refine_corr = Encoder4D(**_encoder4d_args((h, h * 4, h), 3, 1, 1, (1, 1)), dtype=dt, name="mlp_refine_corr")
-        self.mlp_refine_corr2 = Encoder4D(**_encoder4d_args((h, h * 4, h), 3, 1, 1, (1, 1)), dtype=dt, name="mlp_refine_corr2")
+        self.mlp_refine_corr = Encoder4D(**_encoder4d_args((h, h * 4, h), 3, 1, 1, (1, 1)), dtype=dt, impl=c4i, name="mlp_refine_corr")
+        self.mlp_refine_corr2 = Encoder4D(**_encoder4d_args((h, h * 4, h), 3, 1, 1, (1, 1)), dtype=dt, impl=c4i, name="mlp_refine_corr2")
         f2c = _encoder4d_args((1, h), self.feat_to_corr_kernel, self.feat_to_corr_stride, self.feat_to_corr_pad, (1,))
-        self.feat_to_corr1 = Encoder4D(**f2c, dtype=dt, name="feat_to_corr1")
-        self.feat_to_corr2 = Encoder4D(**f2c, dtype=dt, name="feat_to_corr2")
+        self.feat_to_corr1 = Encoder4D(**f2c, dtype=dt, impl=c4i, name="feat_to_corr1")
+        self.feat_to_corr2 = Encoder4D(**f2c, dtype=dt, impl=c4i, name="feat_to_corr2")
         self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm1")
         self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm2")
         self.v_cross = Dense(self.d_model, dtype=dt, name="v_cross")
@@ -299,6 +301,7 @@ class UFC(nn.Module):
     # norm statistics, dual-softmax and the final flow correlations +
     # soft-argmax stay f32).  None = f32 everywhere (the parity path).
     dtype: Any = None
+    conv4d_impl: str = "2d"  # Conv4d branch formulation (see models/conv4d.py)
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], nview: int = 2):
@@ -333,6 +336,7 @@ class UFC(nn.Module):
                     feat_to_corr_stride=self.f2c_stride[s],
                     feat_to_corr_pad=self.f2c_pad[s],
                     dtype=self.dtype,
+                    conv4d_impl=self.conv4d_impl,
                     name=f"layers_{s}_{i}",
                 )
                 for i in range(self.layer_nums[s])
@@ -343,6 +347,7 @@ class UFC(nn.Module):
             Encoder4D(
                 **_encoder4d_args((1, self.nhead), self.f2c_kernel[s], self.f2c_stride[s], self.f2c_pad[s], (1,)),
                 dtype=self.dtype,
+                impl=self.conv4d_impl,
                 name=f"embedding_{s}",
             )
             for s in range(3)

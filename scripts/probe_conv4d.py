@@ -1,6 +1,6 @@
 """A/B the train step over Conv4d formulations and UFC remat.
 
-Configs: CONV4D_IMPL in {2d, 3d} x remat_ufc in {True, False}, full fast
+Configs: conv4d_impl in {2d, 3d} x remat_ufc in {True, False} (+ remat_policy=dots), full fast
 train step (fwd+bwd+Adam, 256^2, sparsity 192, pose+cycle+ssim) at batch N.
 The 2d formulation folds the untouched pair into a conv2d batch (4 HBM
 transposes per Conv4d); the 3d formulation runs one conv with three spatial
@@ -23,7 +23,6 @@ from coponerf_tpu.utils.jax_setup import enable_compilation_cache
 
 enable_compilation_cache()
 
-import coponerf_tpu.models.conv4d as conv4d  # noqa: E402
 from coponerf_tpu.config import Config, LossConfig, ModelConfig, TrainConfig  # noqa: E402
 from coponerf_tpu.data.synthetic import make_batch  # noqa: E402
 from coponerf_tpu.models import CoPoNeRF  # noqa: E402
@@ -38,11 +37,10 @@ K = 8
 
 
 def run(impl: str, remat: bool, policy: str = "full"):
-    conv4d.CONV4D_IMPL = impl
     cfg = Config(
         model=ModelConfig(
             compute_dtype="bfloat16", fast_sampling=True, remat_ufc=remat,
-            remat_policy=policy,
+            remat_policy=policy, conv4d_impl=impl,
         ),
         loss=LossConfig(pose=True, cycle=True, ssim=True),
         train=TrainConfig(),

@@ -109,32 +109,27 @@ def test_conv4d_3d_impl_matches_2d():
     import coponerf_tpu.models.conv4d as c4
 
     cases = [
-        ((2, 8, 256, 256), (16, 16), (16, 16), c4.Conv4d(8, (3,) * 4, (1,) * 4, (1,) * 4)),
-        ((1, 1, 1024, 1024), (32, 32), (32, 32), c4.Conv4d(8, (3,) * 4, (2,) * 4, (1,) * 4)),
-        ((1, 1, 1024, 1024), (32, 32), (32, 32), c4.Conv4d(8, (5,) * 4, (4,) * 4, (2,) * 4)),
+        ((2, 8, 256, 256), (16, 16), (16, 16), (8, (3,) * 4, (1,) * 4, (1,) * 4)),
+        ((1, 1, 1024, 1024), (32, 32), (32, 32), (8, (3,) * 4, (2,) * 4, (1,) * 4)),
+        ((1, 1, 1024, 1024), (32, 32), (32, 32), (8, (5,) * 4, (4,) * 4, (2,) * 4)),
     ]
-    prev = c4.CONV4D_IMPL
-    try:
-        for shape, qhw, shw, mod in cases:
-            x = jnp.asarray(RNG.randn(*shape).astype(np.float32))
-            c4.CONV4D_IMPL = "2d"
-            v = mod.init(jax.random.PRNGKey(0), x, qhw, shw)
+    for shape, qhw, shw, args in cases:
+        x = jnp.asarray(RNG.randn(*shape).astype(np.float32))
+        mods = {impl: c4.Conv4d(*args, impl=impl) for impl in ("2d", "3d")}
+        v = mods["2d"].init(jax.random.PRNGKey(0), x, qhw, shw)  # same param tree
 
-            def loss(v, impl):
-                c4.CONV4D_IMPL = impl
-                o, q, s = mod.apply(v, x, qhw, shw)
-                return jnp.sum(o * jnp.cos(o)), (o, q, s)
+        def loss(v, impl):
+            o, q, s = mods[impl].apply(v, x, qhw, shw)
+            return jnp.sum(o * jnp.cos(o)), (o, q, s)
 
-            (l2, (o2, q2, s2)), g2 = jax.value_and_grad(loss, has_aux=True)(v, "2d")
-            (l3, (o3, q3, s3)), g3 = jax.value_and_grad(loss, has_aux=True)(v, "3d")
-            assert (q2, s2) == (q3, s3)
-            np.testing.assert_allclose(np.asarray(o2), np.asarray(o3), atol=2e-5)
-            scale = float(jnp.abs(o2).mean()) + 1e-6
-            for a, b in zip(jax.tree.leaves(g2), jax.tree.leaves(g3)):
-                err = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-6)
-                assert err < 1e-4, (err, scale)
-    finally:
-        c4.CONV4D_IMPL = prev
+        (l2, (o2, q2, s2)), g2 = jax.value_and_grad(loss, has_aux=True)(v, "2d")
+        (l3, (o3, q3, s3)), g3 = jax.value_and_grad(loss, has_aux=True)(v, "3d")
+        assert (q2, s2) == (q3, s3)
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o3), atol=2e-5)
+        scale = float(jnp.abs(o2).mean()) + 1e-6
+        for a, b in zip(jax.tree.leaves(g2), jax.tree.leaves(g3)):
+            err = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-6)
+            assert err < 1e-4, (err, scale)
 
 
 def test_grid_sample_prepadded_matches_unpadded():
