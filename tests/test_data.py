@@ -220,3 +220,38 @@ def test_prefetch_loader_serial_eval_matches_batch_iterator(fake_root):
     np.testing.assert_allclose(
         a[0][0]["context"]["cam2world"], b[0][0]["context"]["cam2world"]
     )
+
+
+def test_downloader_pose_parsing_and_mat_builder(tmp_path):
+    """data/download/generate_dataset.py offline pieces: the RealEstate10K
+    pose-txt parser, the ffmpeg timestamp formatter, and the .mat pose-table
+    builder the loaders consume (reference data_download analogue)."""
+    from scipy.io import loadmat
+
+    from coponerf_tpu.data.download.generate_dataset import (
+        _ms_to_ffmpeg_ts,
+        build_pose_mat,
+        parse_pose_file,
+    )
+
+    assert _ms_to_ffmpeg_ts(0) == "00:00:00.000"
+    assert _ms_to_ffmpeg_ts(90_061_500_000) == "25:01:01.500"
+
+    row = [1000, 0.9, 0.9, 0.5, 0.5, 0.0, 0.0] + list(range(12))
+    txt = tmp_path / "sceneA.txt"
+    txt.write_text(
+        "https://example.com/watch?v=abc\n"
+        + "\n".join(" ".join(str(v) for v in [row[0] + i * 1000] + row[1:]) for i in range(3))
+        + "\n"
+    )
+    url, timestamps = parse_pose_file(str(txt))
+    assert url.endswith("v=abc")
+    assert timestamps == [1000, 2000, 3000]
+
+    out = tmp_path / "poses.mat"
+    n = build_pose_mat(str(tmp_path), str(out))
+    assert n == 1
+    table = loadmat(str(out))["sceneA"]
+    assert table.shape == (3, 19)
+    np.testing.assert_allclose(table[:, 0], [1000, 2000, 3000])
+    np.testing.assert_allclose(table[0, 1:5], [0.9, 0.9, 0.5, 0.5])
