@@ -432,6 +432,14 @@ def onehot_transpose_matmul(g, corner_idx, corner_w, HW: int, block_hw: int = 10
     select relayout) — both measured, do not retry blindly."""
     B, P, C = g.shape
     block_hw = min(block_hw, HW)
+    # Scoped-VMEM stack budget: the mt tile (f32 build + bf16 dot copy,
+    # block_hw*block_p*6 bytes) plus the g/part/out tiles must stay under
+    # the 16 MB scoped limit.  At C=256 the default (1024, 2048) tile sums
+    # to 16.07 MB and the compile fails by 76 KB depending on surrounding
+    # fusion (observed at train batch 4, 64^2 conv-latent level) — halve
+    # block_p once the channel tiles stop being negligible.
+    if C >= 128:
+        block_p = min(block_p, 1024)
     block_p = min(block_p, max(P, 1))
     pad_p = (-P) % block_p
     if pad_p:
