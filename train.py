@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--debug_nans", action="store_true", default=False,
                    help="raise at the first NaN-producing op (debug; slow)")
+    p.add_argument("--synthetic_pool", type=int, default=0,
+                   help="synthetic dataset: pregenerate N batches and cycle "
+                        "(keeps the chip busy on slow hosts)")
     p.add_argument("--fast", action="store_true", default=False,
                    help="throughput config: MXU sampling + custom-VJP backward "
                         "(use with --compute_dtype bfloat16)")
@@ -61,14 +64,31 @@ def make_dataset(opt):
     if opt.dataset == "synthetic":
         from coponerf_tpu.data.synthetic import make_batch
 
+        def gen(seed):
+            return make_batch(
+                batch_size=opt.batch_size, image_size=opt.image_size,
+                n_rays=opt.query_sparsity, seed=seed,
+            )
+
+        if opt.synthetic_pool:
+            # Procedural generation costs ~0.6 s/pair on a 1-core host —
+            # serialized with the ~0.1 s/pair TPU step it dominates the wall
+            # clock.  A pregenerated pool (cycled, ray subsets still differ
+            # per epoch via the seed) keeps the chip busy.
+            def pooled_iter():
+                pool = [gen(s + 1) for s in range(opt.synthetic_pool)]
+                i = 0
+                while True:
+                    yield pool[i % len(pool)]
+                    i += 1
+
+            return pooled_iter(), 0
+
         def synthetic_iter():
             seed = 0
             while True:
                 seed += 1
-                yield make_batch(
-                    batch_size=opt.batch_size, image_size=opt.image_size,
-                    n_rays=opt.query_sparsity, seed=seed,
-                )
+                yield gen(seed)
 
         return synthetic_iter(), 0
     if opt.dataset == "acid":
