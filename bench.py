@@ -33,11 +33,11 @@ CHUNK = 16384
 N_LO, N_HI = 1, 5  # images rendered per timing call
 
 # Two-stage coarse-to-fine epipolar sampling (quality-gated in PARITY.md on
-# TRAINED weights: +0.035 dB vs exact, pose identical — inside the <=0.1 dB
-# budget; joint softmax over the coarse+fine union keeps every computed
-# sample mathematically exact).  Override with --cf A,B or disable with
-# --cf 0,0 (single 64-sample uniform stage).
-CF_DEFAULT = (16, 8)
+# TRAINED weights: cf[16,4] measured +0.027 dB vs exact, pose identical —
+# inside the <=0.1 dB budget; joint softmax over the coarse+fine union keeps
+# every computed sample mathematically exact).  Override with --cf A,B or
+# disable with --cf 0,0 (single 64-sample uniform stage).
+CF_DEFAULT = (16, 4)
 
 
 def main():
