@@ -23,15 +23,17 @@ from coponerf_tpu.models import CoPoNeRF  # noqa: E402
 from coponerf_tpu.training.trainer import TrainState, make_optimizer, make_train_step  # noqa: E402
 from coponerf_tpu.utils.fast_init import fast_init  # noqa: E402
 
-BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+_pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+BATCH = int(_pos[0]) if _pos else 6
 IMG = 256
 RAYS = 192
+REMAT = "--no-remat" not in sys.argv
 
 
 def main():
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/train_trace"
     cfg = Config(
-        model=ModelConfig(compute_dtype="bfloat16", fast_sampling=True),
+        model=ModelConfig(compute_dtype="bfloat16", fast_sampling=True, remat_ufc=REMAT),
         loss=LossConfig(pose=True, cycle=True, ssim=True),
         train=TrainConfig(),
     )
