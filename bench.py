@@ -29,7 +29,10 @@ import time
 REF_RAYS_PER_SEC_PER_CHIP = 2.9e4  # A6000 roofline @ 50% MFU; see BASELINE.md
 
 IMAGE = 256
-CHUNK = 16384
+# chunk sweep at cf[16,4] (2026-08-19, real chip): 16384 -> 273.9k, 32768 ->
+# 307.2k rays/s/chip — at 20 samples/ray the larger chunk amortizes the
+# per-chunk fixed geometry/dispatch work the 64-sample tuning hid.
+CHUNK = 32768
 N_LO, N_HI = 1, 5  # images rendered per timing call
 
 # Two-stage coarse-to-fine epipolar sampling (quality-gated in PARITY.md on
