@@ -79,6 +79,15 @@ def main():
     variables = fast_init(model, batch, val=False, train=False)
 
     n_chunks = n_rays // chunk
+    rendered_rays = n_chunks * chunk  # rays actually rendered per image
+    if rendered_rays != n_rays:
+        # a non-dividing chunk renders fewer rays than the full image; the
+        # throughput denominator must count what was rendered, not n_rays
+        print(
+            f"# WARNING: --chunk {chunk} does not divide {n_rays} rays; "
+            f"rendering {rendered_rays} rays/image and accounting only those",
+            file=sys.stderr,
+        )
 
     def chunk_query(b, i):
         q = dict(b["query"])
@@ -117,7 +126,7 @@ def main():
     t_hi = time.time() - t0
     dt = (t_hi - t_lo) / (N_HI - N_LO)
 
-    rays_per_sec = n_rays / dt
+    rays_per_sec = rendered_rays / dt
     print(f"# per-image render {dt * 1000:.0f} ms", file=sys.stderr)
     print(
         json.dumps(

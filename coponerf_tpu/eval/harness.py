@@ -126,13 +126,18 @@ def evaluate(
     encode, render_image = make_renderer(model, chunk)
     acc = M.MetricAccumulator()
 
+    # every scene is evaluated, including the tail batch of n % batch_size
+    # scenes (the reference DataLoader uses drop_last=False, test.py:130); the
+    # smaller final batch costs one extra compile but keeps the scene set
+    # identical to the reference protocol
     n = len(dataset)
-    indices = list(range(0, n - (n % batch_size)))
+    indices = list(range(n))
     batches = [indices[i: i + batch_size] for i in range(0, len(indices), batch_size)]
     if max_batches:
         batches = batches[:max_batches]
 
     for bi, idxs in enumerate(batches):
+        bs = len(idxs)
         items = [dataset[i] for i in idxs]
         batch_np, gt, overlaps = collate(items)
         batch = jax.tree.map(jnp.asarray, batch_np)
@@ -145,8 +150,8 @@ def evaluate(
         rgb = jax.block_until_ready(rgb)
         dt = time.time() - t0
 
-        rgb = np.asarray(rgb).reshape(batch_size, image_size, image_size, 3)
-        target = np.asarray(gt["rgb"]).reshape(batch_size, image_size, image_size, 3)
+        rgb = np.asarray(rgb).reshape(bs, image_size, image_size, 3)
+        target = np.asarray(gt["rgb"]).reshape(bs, image_size, image_size, 3)
         rgb = (np.clip(rgb, -1, 1) + 1) * 0.5
         target = (target + 1) * 0.5
 
@@ -156,7 +161,7 @@ def evaluate(
         rot = M.rotation_geodesic(rel_pose[:, :3, :3], gt_rel[:, :3, :3])
         trans_l2, trans_ang = M.translation_error(rel_pose[:, :3, 3], gt_rel[:, :3, 3])
 
-        for e in range(batch_size):
+        for e in range(bs):
             vals = {
                 "psnr": M.psnr(rgb[e], target[e]),
                 "mse": float(np.mean((rgb[e] - target[e]) ** 2)),
@@ -164,7 +169,7 @@ def evaluate(
                 "rot": float(rot[e]),
                 "trans": float(trans_l2[e]),
                 "angle_trans": float(trans_ang[e]),
-                "rays_per_sec": n_rays * batch_size / dt,
+                "rays_per_sec": n_rays * bs / dt,
             }
             lp = M.lpips_vgg(rgb[e] * 2 - 1, target[e] * 2 - 1, lpips_weights)
             if lp is not None:

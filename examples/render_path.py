@@ -32,7 +32,13 @@ def main():
     p.add_argument("--scene_idx", type=int, default=0)
     p.add_argument("--n_frames", type=int, default=30)
     p.add_argument("--image_size", type=int, default=256)
-    p.add_argument("--chunk", type=int, default=4096)
+    p.add_argument("--chunk", type=int, default=32768,
+                   help="ray chunk (32768 = the measured v5e optimum, PERF.md)")
+    p.add_argument("--cf", type=str, default="16,4",
+                   help="coarse,fine epipolar samples (quality-gated default "
+                        "16,4; '0,0' = exact 64-sample uniform stage)")
+    p.add_argument("--exact", action="store_true",
+                   help="exact f32 parity path (no bf16, no fast sampling)")
     p.add_argument("--circle_radius", type=float, default=None,
                    help="optional circular perturbation of the path (test.py:102)")
     p.add_argument("--out", type=str, required=True)
@@ -58,7 +64,16 @@ def main():
         from coponerf_tpu.utils.jax_setup import enable_compilation_cache
 
         enable_compilation_cache()
-    model = CoPoNeRF(ModelConfig())
+    cf = tuple(int(x) for x in opt.cf.split(","))
+    if opt.exact:
+        cfg = ModelConfig()
+    else:
+        cfg = ModelConfig(
+            fast_sampling=True, compute_dtype="bfloat16",
+            coarse_samples=cf[0], fine_samples=cf[1],
+        )
+    model = CoPoNeRF(cfg)
+    opt.chunk = min(opt.chunk, opt.image_size * opt.image_size)
 
     if opt.data_root:
         from coponerf_tpu.data.realestate import RealEstate10kVis

@@ -31,7 +31,8 @@ _pos = [a for a in sys.argv[1:] if not a.startswith("-")]
 BATCH = int(_pos[0]) if _pos else 6
 IMG = 256
 RAYS = 192
-REMAT = "--no-remat" not in sys.argv  # A/B the UFC rematerialization
+# A/B the UFC rematerialization; both flag spellings accepted (train.py uses --no_remat)
+REMAT = not ({"--no-remat", "--no_remat"} & set(sys.argv))
 
 
 def main():

@@ -6,7 +6,7 @@ The whole path renders in ONE jitted dispatch (lax.map over poses), so on
 the ~30 ms/dispatch tunneled backend the timing below is honest device time
 plus a single dispatch, not 30 of them.
 
-Usage: python scripts/bench_trajectory.py [n_frames] [image_size]
+Usage: python scripts/bench_trajectory.py [n_frames] [image_size] [--cf A,B] [--chunk N]
 """
 
 import os
@@ -16,10 +16,25 @@ import time
 _here = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_here))
 
+# serving quality config = the bench.py default: quality-gated two-stage
+# coarse-to-fine sampling (PARITY.md gate 1, +0.027 dB on trained weights)
+# and the 32768-ray chunk sweep optimum (PERF.md)
+CF_DEFAULT = (16, 4)
+CHUNK_DEFAULT = 32768
+
 
 def main():
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-    size = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    _pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    n_frames = int(_pos[0]) if _pos else 30
+    size = int(_pos[1]) if len(_pos) > 1 else 256
+    cf, chunk = CF_DEFAULT, CHUNK_DEFAULT
+    for a in sys.argv[1:]:
+        if a.startswith("--cf"):
+            ab = a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1]
+            cf = tuple(int(x) for x in ab.split(","))
+        if a.startswith("--chunk"):
+            chunk = int(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    chunk = min(chunk, size * size)
 
     import jax
     import jax.numpy as jnp
@@ -33,7 +48,8 @@ def main():
     from coponerf_tpu.utils.fast_init import fast_init
 
     cfg = dataclasses.replace(
-        ModelConfig(), fast_sampling=True, compute_dtype="bfloat16"
+        ModelConfig(), fast_sampling=True, compute_dtype="bfloat16",
+        coarse_samples=cf[0], fine_samples=cf[1],
     )
     model = CoPoNeRF(cfg)
     batch_np, _ = make_batch(1, size, 16, seed=0)
@@ -48,8 +64,8 @@ def main():
     from coponerf_tpu.eval.harness import make_renderer
     from coponerf_tpu.eval.trajectory import interpolate_poses, make_circle, make_path_renderer
 
-    encode, _ = make_renderer(model, chunk=8192)
-    render_path = make_path_renderer(model, chunk=8192)
+    encode, _ = make_renderer(model, chunk=chunk)
+    render_path = make_path_renderer(model, chunk=chunk)
     state = encode(variables, batch)
     c2w = np.asarray(batch["context"]["cam2world"])[0]
     path = interpolate_poses(c2w[0], c2w[1], n_frames)

@@ -27,11 +27,12 @@ _pos = [a for a in sys.argv[1:] if not a.startswith("-")]
 BATCH = int(_pos[0]) if _pos else 6
 IMG = 256
 RAYS = 192
-REMAT = "--no-remat" not in sys.argv
+# accept both spellings: train.py exposes --no_remat, older notes used --no-remat
+REMAT = not ({"--no-remat", "--no_remat"} & set(sys.argv))
 
 
 def main():
-    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/train_trace"
+    outdir = _pos[1] if len(_pos) > 1 else "/tmp/train_trace"
     cfg = Config(
         model=ModelConfig(compute_dtype="bfloat16", fast_sampling=True, remat_ufc=REMAT),
         loss=LossConfig(pose=True, cycle=True, ssim=True),

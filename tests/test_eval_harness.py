@@ -53,6 +53,42 @@ def test_chunked_render_assembles_all_keys(setup):
     assert np.asarray(assembled["at_wt"]).std() > 0  # not uniform
 
 
+def test_evaluate_includes_tail_scenes(setup):
+    """A dataset of n scenes with n % batch_size != 0 must evaluate ALL
+    scenes — the reference DataLoader uses drop_last=False (test.py:130), so
+    dropping the tail changes the binned metrics on real data."""
+    import warnings
+
+    from coponerf_tpu.eval.harness import evaluate
+
+    cfg, model, _, _, _, variables = setup
+
+    class _TinyEvalSet:
+        def __init__(self, n):
+            self.items = []
+            for i in range(n):
+                b, g = make_batch(
+                    batch_size=1, image_size=IMG, n_rays=IMG * IMG,
+                    seed=100 + i, full_query_image=True,
+                )
+                item = jax.tree.map(lambda x: x[0], b)
+                gt0 = jax.tree.map(lambda x: x[0], g)
+                self.items.append((item, gt0, 1.0))
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    ds = _TinyEvalSet(3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # LPIPS column intentionally absent
+        acc = evaluate(model, variables, ds, batch_size=2, chunk=IMG * IMG // 2,
+                       image_size=IMG, verbose=False)
+    assert len(acc.metrics["all"]["psnr"]) == 3  # 2 + the tail scene
+
+
 def test_warped_context_panels(setup):
     from coponerf_tpu.training.summaries import warped_context_panels
 
