@@ -55,6 +55,13 @@ class ModelConfig:
     # disables (single uniform stage of npoints, the reference protocol).
     coarse_samples: int = 0
     fine_samples: int = 0
+    # Training-path fused conv_map+sampling custom VJP (ops/convmap_sample.py):
+    # routes the 256^2 latent sampling gradient straight to the 7x7 conv
+    # kernel via weighted input patches at the sample anchors, skipping the
+    # (B*V, 65536, 64) table cotangent entirely (2 x ~35 ms/step one-hot
+    # transpose kernels + the conv correlation, trace-verified).  Forward
+    # numerics are identical; gradients differ only in reduction order.
+    convmap_direct_grad: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -35,6 +35,7 @@ from coponerf_tpu.models.cross_block import CrossBlock
 from coponerf_tpu.models.layers import (
     Dense,
     MLPSeq,
+    RawConv,
     RawDense,
     SplitDense,
     torch_bias_init,
@@ -90,9 +91,11 @@ class CoPoNeRF(nn.Module):
         self.pose_regressor = MLPSeq((512, 256, 256), act_last=True, name="pose_regressor")
         self.rotation_regressor = MLPSeq((64, 32, 6), act_first=True, name="rotation_regressor")
         self.translation_regressor = MLPSeq((64, 32, 3), act_first=True, name="translation_regressor")
-        self.conv_map = nn.Conv(
-            64, (7, 7), padding=3, kernel_init=torch_kernel_init,
-            bias_init=torch_bias_init(3 * 49), dtype=ufc_dt, name="conv_map",
+        # RawConv = nn.Conv with identical param path/shapes/inits but a
+        # readable kernel/bias, so the train path can fuse conv+sampling
+        # into one custom VJP (ops/convmap_sample.py)
+        self.conv_map = RawConv(
+            64, (7, 7), in_features=3, padding=3, dtype=ufc_dt, name="conv_map",
         )
 
         latent = c.latent_dim            # 832
@@ -343,8 +346,22 @@ class CoPoNeRF(nn.Module):
         # (measured-negative alternatives — a fused 3-level resident-table
         # sampler and a windowed 256^2 band sampler — live in
         # ops/pallas/experimental/ with their numbers; see PERF.md)
+        # Training: the 256^2 conv_map level is sampled through the fused
+        # conv+sample custom VJP — the sampling gradient routes straight to
+        # the 7x7 conv kernel (weighted input patches at the sample anchors)
+        # instead of materializing the (B*V, 65536, 64) table cotangent
+        # (2 x ~35 ms one-hot transpose kernels/step, the largest train-step
+        # items; see ops/convmap_sample.py).  Forward numerics identical.
+        fuse_conv = train and cfg.convmap_direct_grad
+        if fuse_conv:
+            from coponerf_tpu.ops.convmap_sample import convmap_sample_pair
+
+            rgb_n = ctx["rgb"].reshape(B * V, H, W, 3)
+            rgb_n = ((rgb_n + 1.0) / 2.0 - IMAGENET_MEAN) / IMAGENET_STD
+
         def sample_all(p, mode):
-            return [sample(z, p, mode) for z in state.z]
+            zs = state.z[:-1] if fuse_conv else state.z
+            return [sample(z, p, mode) for z in zs]
 
         ctx_flat_c2w = context_cam2world.reshape(B * V, 4, 4)
         ctx_flat_intr = ctx_intr.reshape(B * V, 4, 4)
@@ -468,7 +485,16 @@ class CoPoNeRF(nn.Module):
             # secondary (cross-view reprojected) features, zeros padding,
             # sampled from the view-row-swapped tables
             px_flat = tokf(px_cross, S_)
-            samples_s = [sample(z, px_flat, "zeros") for z in z_sw]
+            zsw_levels = z_sw[:-1] if fuse_conv else z_sw
+            samples_s = [sample(z, px_flat, "zeros") for z in zsw_levels]
+            if fuse_conv:
+                sp_conv, ss_conv = convmap_sample_pair(
+                    rgb_n, self.conv_map.kernel, self.conv_map.bias,
+                    pv_flat, px_flat,
+                    cfg.compute_dtype == "bfloat16", cfg.fast_sampling,
+                )
+                samples_p = samples_p + [sp_conv]
+                samples_s = samples_s + [ss_conv]
 
             pt_primary = tokf(jax.lax.stop_gradient(scrub(pt_own)), S_)
             pt_secondary = tokf(scrub(pt_cross), S_)

@@ -216,3 +216,38 @@ class GroupNormND(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.num_channels,))
         bias = self.param("bias", nn.initializers.zeros, (self.num_channels,))
         return group_norm_nd(x, scale, bias, self.num_groups)
+
+
+class RawConv(nn.Module):
+    """Drop-in for ``nn.Conv(features, (kh, kw), padding=p)`` with the SAME
+    param path (``<name>/{kernel, bias}``), shapes and init distributions,
+    but exposing ``.kernel``/``.bias`` directly — required by the train
+    path's fused conv+sample custom VJP (ops/convmap_sample.py), which
+    needs the raw arrays to route the sampling gradient straight to the
+    conv kernel."""
+
+    features: int
+    kernel_size: tuple
+    in_features: int
+    padding: int = 0
+    dtype: Optional[Any] = None
+
+    def setup(self):
+        kh, kw = self.kernel_size
+        self.kernel = self.param(
+            "kernel", torch_kernel_init, (kh, kw, self.in_features, self.features)
+        )
+        self.bias = self.param(
+            "bias", torch_bias_init(self.in_features * kh * kw), (self.features,)
+        )
+
+    def __call__(self, x):
+        k, b = self.kernel, self.bias
+        if self.dtype is not None:
+            x, k, b = x.astype(self.dtype), k.astype(self.dtype), b.astype(self.dtype)
+        p = self.padding
+        out = jax.lax.conv_general_dilated(
+            x, k, window_strides=(1, 1), padding=((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + b

@@ -86,6 +86,12 @@ def lf_loss(
         h = flow_f.shape[-2]
         ctx_rgb = model_input["context"]["rgb"]
         out_size = ctx_rgb.shape[2]  # 256 in the reference (loss_function.py:112)
+        # NOTE: packing the image warp and the consistency-mask warp into one
+        # C=5 gather per direction was measured-NEGATIVE: the (P, 2, 2, C)
+        # bilinear patch temporaries pad to the (8,128) tile regardless of C
+        # (~768M-1.9G each at 256^2 batch 6), and the packed variant put three
+        # of them live at the peak — 26 MB past the 15.75G HBM budget at the
+        # no-remat batch-6 fit.  Separate warps keep the peak under budget.
         up_f, up_b, mask_f, mask_b = flow_ops.cyclic_consistency_masks(
             flow_f, flow_b, out_size=out_size, scale=out_size / h
         )

@@ -33,11 +33,14 @@ IMG = 256
 RAYS = 192
 # A/B the UFC rematerialization; both flag spellings accepted (train.py uses --no_remat)
 REMAT = not ({"--no-remat", "--no_remat"} & set(sys.argv))
+# A/B the fused conv_map+sampling custom VJP (ops/convmap_sample.py)
+FUSED_CONV = "--no_fused_conv" not in sys.argv
 
 
 def main():
     cfg = Config(
-        model=ModelConfig(compute_dtype="bfloat16", fast_sampling=True, remat_ufc=REMAT),
+        model=ModelConfig(compute_dtype="bfloat16", fast_sampling=True, remat_ufc=REMAT,
+                          convmap_direct_grad=FUSED_CONV),
         loss=LossConfig(pose=True, cycle=True, ssim=True),
         train=TrainConfig(),
     )

@@ -185,3 +185,59 @@ def test_ufc_remat_policy_equivalence():
         for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
             err = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-6)
             assert err < 2e-3, (key, err)
+
+
+@pytest.mark.parametrize("conv_bf16,sample_bf16", [(False, False), (True, True)])
+def test_convmap_sample_pair_grads_match_autodiff(conv_bf16, sample_bf16):
+    """The fused conv+sample custom VJP (direct conv-kernel gradient from
+    weighted input patches) must match plain XLA autodiff through the
+    unfused conv -> grid_sample composition — including out-of-image
+    secondary coordinates (zeros mode) and border clamping."""
+    from coponerf_tpu.ops.convmap_sample import convmap_sample_pair, _fwd_impl
+
+    rng = np.random.RandomState(0)
+    BV, H, W, P = 4, 16, 16, 37
+    rgb = jnp.asarray(rng.randn(BV, H, W, 3).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(7, 7, 3, 64).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    grid_p = jnp.asarray(rng.uniform(-1.3, 1.3, (BV, P, 2)).astype(np.float32))
+    # secondary coords include far-out points (projections can be wild)
+    gs = rng.uniform(-1.5, 1.5, (BV, P, 2)).astype(np.float32)
+    gs[:, :3] = 50.0
+    gs[:, 3:5] = -50.0
+    grid_s = jnp.asarray(gs)
+
+    def loss_fused(k, b):
+        sp, ss = convmap_sample_pair(rgb, k, b, grid_p, grid_s, conv_bf16, sample_bf16)
+        return (jnp.sum(jnp.sin(sp.astype(jnp.float32)))
+                + jnp.sum(jnp.cos(ss.astype(jnp.float32))))
+
+    def loss_ref(k, b):
+        sp, ss = _fwd_impl(rgb, k, b, grid_p, grid_s, conv_bf16, sample_bf16)
+        return (jnp.sum(jnp.sin(sp.astype(jnp.float32)))
+                + jnp.sum(jnp.cos(ss.astype(jnp.float32))))
+
+    # forward identical by construction
+    np.testing.assert_array_equal(
+        np.asarray(loss_fused(kernel, bias)), np.asarray(loss_ref(kernel, bias))
+    )
+    gk_f, gb_f = jax.grad(loss_fused, argnums=(0, 1))(kernel, bias)
+    if conv_bf16 or sample_bf16:
+        # the unfused bf16 autodiff quantizes the full-table cotangent to
+        # bf16 BEFORE the big reductions (observed ~8% bias-grad error vs
+        # truth); the fused path reduces in f32 and is closer to the f32
+        # ground truth — so gate the bf16 path against that truth instead
+        def loss_truth(k, b):
+            sp, ss = _fwd_impl(rgb, k, b, grid_p, grid_s, False, False)
+            return jnp.sum(jnp.sin(sp)) + jnp.sum(jnp.cos(ss))
+
+        gk_r, gb_r = jax.grad(loss_truth, argnums=(0, 1))(kernel, bias)
+        tol = 3e-2
+    else:
+        gk_r, gb_r = jax.grad(loss_ref, argnums=(0, 1))(kernel, bias)
+        tol = 2e-4
+    scale = float(np.abs(gk_r).max())
+    np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_r), atol=tol * scale)
+    np.testing.assert_allclose(
+        np.asarray(gb_f), np.asarray(gb_r), atol=tol * max(1.0, float(np.abs(gb_r).max()))
+    )
