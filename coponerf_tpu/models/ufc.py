@@ -25,7 +25,7 @@ from coponerf_tpu.models.conv4d import Encoder4D
 from coponerf_tpu.models.layers import Dense
 from coponerf_tpu.ops.correlation import (
     l2_normalize_channels,
-    soft_argmax,
+    soft_argmax_flat,
     unnormalise_and_convert_mapping_to_flow,
 )
 from coponerf_tpu.ops.resize import resize_bilinear
@@ -400,20 +400,25 @@ class UFC(nn.Module):
             )
 
         fine = stage_hw[-1]
+        # (a kron-structured flat resize that avoids the 5D intermediates was
+        # measured-NEGATIVE here: encode fwd 142 -> 238 ms, compile 17 min —
+        # the separable two-pass is the right resize; the tensor that
+        # actually needed the flat layout was soft_argmax's 5D marginal,
+        # handled by soft_argmax_flat below)
         ups = [
             interpolate4d_flat(x, (hw, hw), (hw, hw), (fine, fine), (fine, fine))
             for x, hw in correlations
         ]
         c = sum(ups) / len(ups)
 
-        b = c.shape[0]
+        # flat soft-argmax: the 5D marginal formulation materializes
+        # (B, hs, ws, h, w) buffers whose 64-wide lane dim pads 2x on ~400 MB
+        # tensors — the largest train-step allocations (trace-verified).
         # mapping defined on the SOURCE grid, pointing into the target
-        gx_f, gy_f = soft_argmax(jnp.swapaxes(c[:, 0], 1, 2).reshape(b, fine * fine, fine, fine))
-        mapping_fwd = jnp.concatenate([gx_f, gy_f], axis=1)
+        # (softmax over target tokens), and vice versa
+        mapping_fwd = soft_argmax_flat(c[:, 0], axis=2)
         flow = unnormalise_and_convert_mapping_to_flow(mapping_fwd)
-        # mapping defined on the TARGET grid, pointing into the source
-        gx_b, gy_b = soft_argmax(c[:, 0].reshape(b, fine * fine, fine, fine))
-        mapping_bwd = jnp.concatenate([gx_b, gy_b], axis=1)
+        mapping_bwd = soft_argmax_flat(c[:, 0], axis=1)
         flow_flip = unnormalise_and_convert_mapping_to_flow(mapping_bwd)
 
         return feat_list, (flow, flow_flip, mapping_fwd, mapping_bwd), c

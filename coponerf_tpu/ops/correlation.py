@@ -70,6 +70,34 @@ def soft_argmax(corr: jnp.ndarray, beta: float = 0.02):
     return grid_x, grid_y
 
 
+def soft_argmax_flat(logits: jnp.ndarray, axis: int, beta: float = 0.02) -> jnp.ndarray:
+    """soft_argmax on a FLATTENED correlation (B, Q, S) without the 5D
+    marginal reshapes (whose small lane dims the TPU tiling pads 2x on 400 MB
+    tensors — measured in the train step).
+
+    ``axis`` selects the token axis to softmax over (1 = the Q/source axis,
+    2 = the S/target axis); positions are the OTHER axis's (row-major) grid.
+    Returns the [-1, 1] mapping (B, 2, h, w) over the position grid — the
+    same values as soft_argmax on the reshaped volume (expected coordinate =
+    dot with per-token coordinate vectors; the marginalization is folded in
+    by linearity)."""
+    b, Q, S = logits.shape
+    n = logits.shape[axis]
+    hs = int(round(n ** 0.5))
+    ws = n // hs
+    m = Q if axis == 2 else S
+    hm = int(round(m ** 0.5))
+    wm = m // hm
+    p = softmax_with_temperature(logits, beta=beta, axis=axis)
+    ar = jnp.arange(n)
+    xv = jnp.linspace(-1.0, 1.0, ws, dtype=logits.dtype)[ar % ws]
+    yv = jnp.linspace(-1.0, 1.0, hs, dtype=logits.dtype)[ar // ws]
+    spec = "bqs,s->bq" if axis == 2 else "bqs,q->bs"
+    gx = jnp.einsum(spec, p, xv, precision="highest")
+    gy = jnp.einsum(spec, p, yv, precision="highest")
+    return jnp.stack([gx, gy], axis=1).reshape(b, 2, hm, wm)
+
+
 def unnormalise_and_convert_mapping_to_flow(mapping: jnp.ndarray) -> jnp.ndarray:
     """[-1,1]-normalized mapping (B, 2, H, W) -> pixel flow (B, 2, H, W)."""
     b, _, h, w = mapping.shape

@@ -77,6 +77,32 @@ def resize_nchw(x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool = F
     return resize_bilinear(x, out_hw, align_corners, axes=(-2, -1))
 
 
+def resize4d_flat_kron(x: jnp.ndarray, in_hw: int, out_hw: int, align_corners: bool = True) -> jnp.ndarray:
+    """Bilinearly resize BOTH spatial pairs of a FLATTENED correlation volume
+    ``(B, C, in_hw^2, in_hw^2) -> (B, C, out_hw^2, out_hw^2)`` without ever
+    leaving the flat layout.
+
+    Folding each pair's (Wh, Ww) into one kron-structured matrix keeps every
+    tensor (B, C, Q, S) with a 128-multiple lane dim; exact same weighted
+    sums as the two-pass form (row of kron(Wh, Ww) = outer product of the
+    rows), modulo f32 summation order.
+
+    MEASURED-NEGATIVE as the UFC flow upsampler (2026-08-19, v5e train step
+    batch 6): 426 ms/step vs 417 ms for separable interpolate4d_flat +
+    soft_argmax_flat, encode fwd +90 ms, compile 17 min — the kron flops
+    (f32-highest 206 GF at the 32^2 stage) cost more than the 5D layout
+    padding they avoid once soft_argmax_flat removes the big marginal
+    buffers.  Kept as tested infrastructure for volumes whose separable
+    intermediates are the actual bottleneck."""
+    if in_hw == out_hw:
+        return x
+    w1 = _linear_weights_np(in_hw, out_hw, align_corners)
+    wk = jnp.asarray(np.kron(w1, w1), x.dtype)            # (out^2, in^2)
+    x = jnp.einsum("bcqs,ts->bcqt", x, wk, precision="highest")
+    x = jnp.einsum("rq,bcqs->bcrs", wk, x, precision="highest")
+    return x
+
+
 def interpolate4d(
     corr: jnp.ndarray, out_shape: tuple[int, int, int, int], align_corners: bool = True
 ) -> jnp.ndarray:

@@ -241,3 +241,34 @@ def test_convmap_sample_pair_grads_match_autodiff(conv_bf16, sample_bf16):
     np.testing.assert_allclose(
         np.asarray(gb_f), np.asarray(gb_r), atol=tol * max(1.0, float(np.abs(gb_r).max()))
     )
+
+
+def test_flat_flow_extraction_matches_5d_path():
+    """The flat-layout flow extraction (resize4d_flat_kron + soft_argmax_flat)
+    must reproduce the original 5D formulation (interpolate4d_flat + marginal
+    soft_argmax) — it exists purely to avoid small-lane TPU padding."""
+    from coponerf_tpu.models.ufc import interpolate4d_flat
+    from coponerf_tpu.ops.correlation import soft_argmax, soft_argmax_flat
+    from coponerf_tpu.ops.resize import resize4d_flat_kron
+
+    rng = np.random.RandomState(7)
+    b, fine = 2, 16
+    for hw in (4, 8, 16):
+        x = jnp.asarray(rng.randn(b, 1, hw * hw, hw * hw).astype(np.float32))
+        ref = interpolate4d_flat(x, (hw, hw), (hw, hw), (fine, fine), (fine, fine))
+        flat = resize4d_flat_kron(x, hw, fine)
+        np.testing.assert_allclose(np.asarray(flat), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    c = jnp.asarray(rng.randn(b, fine * fine, fine * fine).astype(np.float32))
+    # axis=2: positions on the source grid, softmax over target tokens
+    gx, gy = soft_argmax(jnp.swapaxes(c, 1, 2).reshape(b, fine * fine, fine, fine))
+    ref_fwd = np.concatenate([np.asarray(gx), np.asarray(gy)], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(soft_argmax_flat(c, axis=2)), ref_fwd, rtol=1e-5, atol=1e-6
+    )
+    # axis=1: positions on the target grid, softmax over source tokens
+    gx, gy = soft_argmax(c.reshape(b, fine * fine, fine, fine))
+    ref_bwd = np.concatenate([np.asarray(gx), np.asarray(gy)], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(soft_argmax_flat(c, axis=1)), ref_bwd, rtol=1e-5, atol=1e-6
+    )
