@@ -13,21 +13,24 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from coponerf_tpu.ops.grid_sample import grid_sample_nchw
+from coponerf_tpu.ops.grid_sample import grid_sample_dense_nchw
 from coponerf_tpu.ops.resize import resize_nchw
 
 
 def warp(x: jnp.ndarray, flo: jnp.ndarray) -> jnp.ndarray:
     """Backward-warp image ``x`` (B, C, H, W) by flow ``flo`` (B, 2, H, W):
     output[p] = x[p + flo[p]], bilinear, zero padding (torch grid_sample
-    defaults, align_corners=False)."""
+    defaults, align_corners=False).  Dense few-channel warps use the
+    lane-friendly row-pair sampler (see grid_sample_dense_nchw) — the
+    patch-gather formulation's padded temporaries dominated the train-step
+    loss block before round 4."""
     b, c, h, w = x.shape
     xx = jnp.arange(w, dtype=flo.dtype)[None, None, :]
     yy = jnp.arange(h, dtype=flo.dtype)[None, :, None]
     vx = (xx + flo[:, 0]) * 2.0 / max(w - 1, 1) - 1.0
     vy = (yy + flo[:, 1]) * 2.0 / max(h - 1, 1) - 1.0
     vgrid = jnp.stack([vx, vy], axis=-1)
-    return grid_sample_nchw(x, vgrid, padding_mode="zeros", align_corners=False)
+    return grid_sample_dense_nchw(x, vgrid)
 
 
 def convert_flow_to_mapping(flow: jnp.ndarray) -> jnp.ndarray:

@@ -121,3 +121,63 @@ def grid_sample_nchw(
     (B, C, h, w), mirroring ``F.grid_sample``'s shapes exactly."""
     out = grid_sample(jnp.moveaxis(image, 1, -1), grid, padding_mode, align_corners)
     return jnp.moveaxis(out, -1, 1)
+
+
+def grid_sample_dense_nchw(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Dense few-channel variant of ``grid_sample_nchw`` (zeros padding,
+    align_corners=False) for full-image flow warps (C = 2-3, P = H*W points).
+
+    The patch-gather formulation above materializes (P, 2, 2, C) corner
+    patches and (P, 2, 2) blend weights; with C in lanes and the patch cell
+    in sublanes, TPU (8, 128) tiling pads those to ~43x (C=3) / ~256x
+    (weights) their logical size — ~0.8-1.6 GB EACH at 256^2 batch 6, which
+    is what forced XLA to rematerialize every warp's gathers in the train
+    backward.  Here the two bilinear rows are fetched as (C, 2)-slices from
+    the row-flattened image with output layout (B, C, 2, P) — P stays in
+    lanes (no padding, ~38 MB), the blend weights stay flat (B, P) vectors,
+    and the corner values are cheap enough to SAVE for the backward instead
+    of recomputing.  Numerics are identical to grid_sample_nchw (same
+    unnormalize / 2-texel zero ring / corner weights); equivalence is pinned
+    in tests/test_ops.py.
+    """
+    B, C, H, W = image.shape
+    batch_shape = grid.shape[:-1]
+
+    x = _unnormalize(grid[..., 0].astype(jnp.float32), W, False)
+    y = _unnormalize(grid[..., 1].astype(jnp.float32), H, False)
+    x = jnp.clip(
+        jnp.nan_to_num(x, nan=-_COORD_CLIP, posinf=_COORD_CLIP, neginf=-_COORD_CLIP),
+        -_COORD_CLIP, _COORD_CLIP,
+    ) + 2.0
+    y = jnp.clip(
+        jnp.nan_to_num(y, nan=-_COORD_CLIP, posinf=_COORD_CLIP, neginf=-_COORD_CLIP),
+        -_COORD_CLIP, _COORD_CLIP,
+    ) + 2.0
+    Hp, Wp = H + 4, W + 4
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = (x - x0f).astype(image.dtype).reshape(B, 1, -1)
+    wy = (y - y0f).astype(image.dtype).reshape(B, 1, -1)
+    sx = jnp.clip(x0f.astype(jnp.int32), 0, Wp - 2)
+    sy = jnp.clip(y0f.astype(jnp.int32), 0, Hp - 2)
+
+    flat = jnp.pad(image, ((0, 0), (0, 0), (2, 2), (2, 2))).reshape(B, C, Hp * Wp)
+    ftop = (sy * Wp + sx).reshape(B, -1, 1)  # (B, P, 1) flat start of the top x-pair
+
+    # output (C, 2, P): the x-pair sits in sublanes (4x pad on a small
+    # tensor), P in lanes (unpadded)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(0, 1), collapsed_slice_dims=(), start_index_map=(1,)
+    )
+
+    def per_view(img, st):
+        top = jax.lax.gather(img, st, dn, slice_sizes=(C, 2), mode="clip")
+        bot = jax.lax.gather(img, st + Wp, dn, slice_sizes=(C, 2), mode="clip")
+        return top, bot
+
+    top, bot = jax.vmap(per_view)(flat, ftop)  # (B, C, 2, P) each
+    row_t = top[:, :, 0] * (1.0 - wx) + top[:, :, 1] * wx
+    row_b = bot[:, :, 0] * (1.0 - wx) + bot[:, :, 1] * wx
+    out = row_t * (1.0 - wy) + row_b * wy  # (B, C, P)
+    return out.reshape(B, C, *batch_shape[1:])

@@ -74,6 +74,11 @@ def run_config(name, cfg, variables, ds, chunk=16384):
     stats = acc.summary()["all"]
     out = {k: stats[f"{k}_avg"] for k in ("psnr", "ssim", "rot", "trans", "angle_trans")}
     out["wall_s"] = time.time() - t0
+    # per-scene values for PAIRED deltas vs the exact config (the gate
+    # statistic: mean +/- std of per-scene dPSNR, not across-scene spread)
+    import numpy as np
+
+    out["per_scene"] = {k: np.asarray(acc.metrics["all"][k]) for k in ("psnr", "ssim", "rot")}
     print(f"{name:14s} psnr={out['psnr']:.4f} ssim={out['ssim']:.4f} "
           f"rot={out['rot']:.4f} trans={out['trans']:.4f} ({out['wall_s']:.0f}s)",
           flush=True)
@@ -120,11 +125,16 @@ def main():
         results[f"cf[{a},{b}]"] = run_config(f"cf[{a},{b}]", cfg, variables, ds)
 
     base = results["exact"]
-    print("\n| config | PSNR (dB) | dPSNR | SSIM | rot (rad) | drot | trans |")
+    print(f"\nn = {n_scenes} scenes; dPSNR/drot are PAIRED per-scene deltas vs exact (mean +/- std)")
+    print("| config | PSNR (dB) | dPSNR (mean +/- std) | SSIM | rot (rad) | drot | trans |")
     print("|---|---|---|---|---|---|---|")
+    import numpy as np
+
     for name, r in results.items():
-        print(f"| {name} | {r['psnr']:.4f} | {r['psnr'] - base['psnr']:+.4f} | "
-              f"{r['ssim']:.4f} | {r['rot']:.4f} | {r['rot'] - base['rot']:+.4f} | "
+        dpsnr = r["per_scene"]["psnr"] - base["per_scene"]["psnr"]
+        drot = r["per_scene"]["rot"] - base["per_scene"]["rot"]
+        print(f"| {name} | {r['psnr']:.4f} | {dpsnr.mean():+.4f} +/- {dpsnr.std():.4f} | "
+              f"{r['ssim']:.4f} | {r['rot']:.4f} | {drot.mean():+.4f} +/- {drot.std():.4f} | "
               f"{r['trans']:.4f} |")
 
 

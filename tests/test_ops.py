@@ -272,3 +272,58 @@ def test_flat_flow_extraction_matches_5d_path():
     np.testing.assert_allclose(
         np.asarray(soft_argmax_flat(c, axis=1)), ref_bwd, rtol=1e-5, atol=1e-6
     )
+
+
+def test_grid_sample_dense_matches_patch_formulation():
+    """The lane-friendly dense warp sampler (row-pair gathers, flat weights)
+    must be numerically identical to the patch-gather grid_sample in zeros
+    mode — including out-of-range, extreme, and NaN coordinates — and its
+    gradient w.r.t. the grid must match."""
+    from coponerf_tpu.ops.grid_sample import grid_sample_dense_nchw
+
+    img = RNG.randn(2, 3, 12, 10).astype(np.float32)
+    grid = (RNG.rand(2, 12, 10, 2).astype(np.float32) * 4 - 2)
+    grid[0, 0, 0] = [1e9, -1e9]
+    grid[1, 0, 1] = [np.nan, 0.3]
+    ref = grid_sample_nchw(jnp.asarray(img), jnp.asarray(grid), padding_mode="zeros")
+    got = grid_sample_dense_nchw(jnp.asarray(img), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+    # gradient w.r.t. the sampling grid (the only grad path the SSIM loss
+    # uses: warped images are data constants, masks are boolean)
+    finite_grid = np.clip(np.nan_to_num(grid), -1.5, 1.5)
+
+    def loss_ref(g):
+        return jnp.sum(grid_sample_nchw(jnp.asarray(img), g, padding_mode="zeros") ** 2)
+
+    def loss_dense(g):
+        return jnp.sum(grid_sample_dense_nchw(jnp.asarray(img), g) ** 2)
+
+    g_ref = jax.grad(loss_ref)(jnp.asarray(finite_grid))
+    g_dense = jax.grad(loss_dense)(jnp.asarray(finite_grid))
+    np.testing.assert_allclose(np.asarray(g_dense), np.asarray(g_ref), atol=1e-4)
+
+
+def test_warp_matches_torch_oracle():
+    """flow.warp (dense sampler path) vs the reference's warp util semantics:
+    grid normalized by (size-1), F.grid_sample zeros/align_corners=False
+    (utils_training/utils.py:642-671)."""
+    from coponerf_tpu import flow as flow_ops
+
+    img = RNG.randn(2, 3, 8, 8).astype(np.float32)
+    flo = (RNG.randn(2, 2, 8, 8) * 3).astype(np.float32)
+    got = np.asarray(flow_ops.warp(jnp.asarray(img), jnp.asarray(flo)))
+
+    B, C, H, W = img.shape
+    xx, yy = np.meshgrid(np.arange(W), np.arange(H))
+    base = np.stack([xx, yy], axis=0)[None].astype(np.float32)
+    vgrid = base + flo
+    vgrid_n = np.stack(
+        [2.0 * vgrid[:, 0] / max(W - 1, 1) - 1.0, 2.0 * vgrid[:, 1] / max(H - 1, 1) - 1.0],
+        axis=-1,
+    )
+    ref = F.grid_sample(
+        torch.from_numpy(img), torch.from_numpy(vgrid_n),
+        mode="bilinear", padding_mode="zeros", align_corners=False,
+    ).numpy()
+    np.testing.assert_allclose(got, ref, atol=1e-4)
