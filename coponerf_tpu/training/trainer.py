@@ -36,6 +36,61 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
+def apply_if_finite_select(
+    inner: optax.GradientTransformation, max_consecutive_errors: int
+) -> optax.GradientTransformation:
+    """optax.apply_if_finite semantics without the lax.cond.
+
+    The stock wrapper routes the whole inner update through a two-branch
+    conditional; on TPU the reject branch is an identity over every
+    param/moment leaf, which XLA lowers to one buffer COPY per leaf —
+    measured ~900 small async copies per train step (~300-leaf model x
+    Adam's 3 trees), a large slice of the step's 14.7k-copy DMA tail.  Here
+    the inner update runs unconditionally and each leaf is selected
+    elementwise (`jnp.where(accept, new, old)`), which XLA fuses INTO the
+    per-leaf Adam fusions and which keeps donated buffers aliasable.
+    NaN/Inf candidates on the reject path are discarded by the select, never
+    propagated; rejected updates are exact zeros so params are bitwise
+    unchanged.  State layout matches optax.ApplyIfFiniteState, so
+    checkpoints are interchangeable with the stock wrapper's.
+    """
+    from optax._src.wrappers import ApplyIfFiniteState
+
+    inc = getattr(optax, "safe_increment", None) or optax.safe_int32_increment
+
+    def init(params):
+        return ApplyIfFiniteState(
+            notfinite_count=jnp.zeros([], jnp.int32),
+            last_finite=jnp.array(True, jnp.bool_),
+            total_notfinite=jnp.zeros([], jnp.int32),
+            inner_state=inner.init(params),
+        )
+
+    def update(updates, state, params=None, **extra_args):
+        isfinite = jnp.all(
+            jnp.array([jnp.all(jnp.isfinite(p)) for p in jax.tree.leaves(updates)])
+        )
+        notfinite_count = jnp.where(
+            isfinite, jnp.zeros([], jnp.int32), inc(state.notfinite_count)
+        )
+        accept = jnp.logical_or(isfinite, notfinite_count > max_consecutive_errors)
+        new_updates, new_inner = inner.update(updates, state.inner_state, params)
+        out_updates = jax.tree.map(
+            lambda n: jnp.where(accept, n, jnp.zeros_like(n)), new_updates
+        )
+        out_inner = jax.tree.map(
+            lambda n, o: jnp.where(accept, n, o), new_inner, state.inner_state
+        )
+        return out_updates, ApplyIfFiniteState(
+            notfinite_count=notfinite_count,
+            last_finite=isfinite,
+            total_notfinite=jnp.where(isfinite, state.total_notfinite, inc(state.total_notfinite)),
+            inner_state=out_inner,
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
     """Single Adam group: the reference's encoder/decoder lr split
     (train.py:66-76) is inert — its `if 'regressor' or ...` condition is
@@ -51,7 +106,7 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
         optax.adam(schedule),
     )
     # skip the update entirely when any grad is NaN/Inf (wrapper.py:44-58,139-141)
-    return optax.apply_if_finite(opt, max_consecutive_errors=10 ** 8)
+    return apply_if_finite_select(opt, max_consecutive_errors=10 ** 8)
 
 
 def create_train_state(cfg: Config, batch, rng) -> TrainState:
