@@ -46,11 +46,27 @@ _RAY_AXIS = {
 }
 
 
-def make_renderer(model, chunk: int = 4096, keys: tuple = ("rgb", "depth_ray", "at_wt")):
+def make_renderer(
+    model,
+    chunk: int = 4096,
+    keys: tuple = ("rgb", "depth_ray", "at_wt"),
+    prune_invalid: bool = False,
+):
     """Returns jitted (encode, render_image) callables.
 
     render_image(variables, batch, state, n_rays) -> dict of per-ray outputs
-    assembled across chunks (``keys``, each a _RAY_AXIS entry)."""
+    assembled across chunks (``keys``, each a _RAY_AXIS entry).
+
+    prune_invalid=True: compute the per-ray epipolar validity mask first (a
+    ~10 flop/ray geometry pass, model.valid_ray_mask), stably compact valid
+    rays to the front, and render only ceil(max_valid/chunk) chunks instead
+    of n_rays/chunk.  The reference renders invalid rays fully and then
+    overwrites them white (CoPoNeRF.py:562-563); on real scenes with sparse
+    overlap this skips that dead work per image.  rgb for pruned rays is
+    EXACTLY the white the renderer would emit; aux outputs (depth/at_wt/...)
+    for pruned rays are zero-filled (the reference's values there are
+    garbage-by-construction — they feed panels only, never metrics).  Each
+    distinct chunk count compiles once (bounded by n_rays/chunk programs)."""
 
     @jax.jit
     def encode(variables, batch):
@@ -91,7 +107,59 @@ def make_renderer(model, chunk: int = 4096, keys: tuple = ("rgb", "depth_ray", "
             acc = insert(acc, out, n_chunks * chunk)
         return acc
 
-    return encode, render_image
+    if not prune_invalid:
+        return encode, render_image
+
+    @jax.jit
+    def ray_mask(variables, batch, state):
+        return model.apply(variables, batch, state, val=True, method="valid_ray_mask")
+
+    @functools.partial(jax.jit, static_argnames=("n_render",))
+    def permute_rays(batch, order, n_render: int):
+        q = dict(batch["query"])
+        idx = order[:, None, :, None]
+        q["uv"] = jnp.take_along_axis(batch["query"]["uv"], idx, axis=2)[:, :, :n_render]
+        q["rgb"] = jnp.take_along_axis(batch["query"]["rgb"], idx, axis=2)[:, :, :n_render]
+        return {"context": batch["context"], "query": q}
+
+    def render_image_pruned(variables, batch, state, n_rays: int):
+        mask = np.asarray(ray_mask(variables, batch, state))  # (B, n_rays) bool
+        n_valid = int(mask.sum(axis=-1).max())
+        if n_valid >= n_rays:
+            render_image_pruned.last_n_rendered = n_rays
+            return render_image(variables, batch, state, n_rays)
+        # valid rays first; kind="stable" keeps the original ray order inside
+        # each class so per-chunk token layouts stay image-coherent.  Always
+        # render >= 1 chunk: keeps output shapes key-complete in the (degenerate)
+        # all-invalid case, and any invalid rays inside the rendered prefix come
+        # out white from render()'s own vm_any overwrite.
+        order = np.argsort(~mask, axis=-1, kind="stable")
+        n_render = min(n_rays, max(chunk, -(-n_valid // chunk) * chunk))
+        render_image_pruned.last_n_rendered = n_render
+        idx = order[:, :n_render]
+        pbatch = permute_rays(batch, jnp.asarray(order), n_render)
+        rendered = render_image(variables, pbatch, state, n_render)
+        # scatter back into full-length buffers; never-rendered rays: rgb=white
+        # (exactly render()'s vm_any overwrite), aux keys zero
+        out = {}
+        B = idx.shape[0]
+        for k in keys:
+            v = np.asarray(rendered[k])
+            ax = _RAY_AXIS[k]
+            shape = list(v.shape)
+            shape[ax] = n_rays
+            full = np.full(shape, 1.0 if k == "rgb" else 0.0, dtype=v.dtype)
+            # some per-ray outputs carry a b-major (B*V) leading dim (at_wt,
+            # T_to_*): repeat each batch element's permutation per view slot
+            assert shape[0] % B == 0, (k, shape)
+            idx_k = np.repeat(idx, shape[0] // B, axis=0)
+            ish = [1] * full.ndim
+            ish[0], ish[ax] = idx_k.shape[0], idx_k.shape[1]
+            np.put_along_axis(full, idx_k.reshape(ish), v, axis=ax)
+            out[k] = jnp.asarray(full)
+        return out
+
+    return encode, render_image_pruned
 
 
 def evaluate(
@@ -105,6 +173,7 @@ def evaluate(
     image_size: int = 256,
     verbose: bool = True,
     logger=None,
+    prune_invalid: bool = False,
 ) -> M.MetricAccumulator:
     """logger: optional training.trainer.MetricLogger — when given, per-batch
     image panels and pose scalars are written as in the reference
@@ -123,7 +192,7 @@ def evaluate(
             "scripts/fetch_lpips_weights.py and pass lpips_weights=...",
             stacklevel=2,
         )
-    encode, render_image = make_renderer(model, chunk)
+    encode, render_image = make_renderer(model, chunk, prune_invalid=prune_invalid)
     acc = M.MetricAccumulator()
 
     # every scene is evaluated, including the tail batch of n % batch_size

@@ -692,6 +692,45 @@ class CoPoNeRF(nn.Module):
         out["gt_rel_pose_flip"] = jnp.linalg.inv(G.pose_inverse_4x4(ctx_c2w[:, -1]) @ ctx_c2w[:, 0])
         return out
 
+    def valid_ray_mask(
+        self, batch: Dict[str, Any], state: SceneState, val: bool = False
+    ) -> jnp.ndarray:
+        """Per-ray epipolar validity, any-over-views/hypotheses: (B, n_rays) bool.
+
+        Recomputes ONLY the geometry prefix of render() (the ~15 lines up to
+        project_rays — no latents, no sampling, ~10 flops/ray) so the eval
+        harness can skip whole chunks of rays that render() would compute and
+        then overwrite white (reference: CoPoNeRF.py:562-563; mirrored at the
+        vm_any overwrite in render()).  Must stay in lockstep with render()'s
+        geometry; drift is pinned by
+        tests/test_eval_harness.py::test_valid_ray_mask_matches_render.
+        """
+        ctx = batch["context"]
+        query = batch["query"]
+        B, V = ctx["rgb"].shape[:2]
+        H = ctx["rgb"].shape[2]
+        n_rays = query["uv"].shape[2]
+        inv_ctx = G.pose_inverse_4x4(ctx["cam2world"])
+        if val:
+            q1 = inv_ctx[:, 0:1] @ query["cam2world"]
+            q2 = G.pose_inverse_4x4(state.rel_pose)[:, None] @ q1
+            query_cam2world = jnp.concatenate([q1, q2], axis=1)
+        else:
+            query_cam2world = inv_ctx @ query["cam2world"]
+        n_hyp = query_cam2world.shape[1]
+        uv = jnp.broadcast_to(query["uv"], (B, n_hyp, n_rays, 2)).reshape(B * n_hyp, n_rays, 2)
+        q_intr = jnp.broadcast_to(query["intrinsics"], (B, n_hyp, 4, 4)).reshape(B * n_hyp, 4, 4)
+        qc2w_flat = query_cam2world.reshape(B * n_hyp, 4, 4)
+        lf_coords = G.plucker_embedding(qc2w_flat, uv, q_intr)
+        ctx_intr = ctx["intrinsics"]
+        intr_norm = ctx_intr.at[:, :, :2, :].set(ctx_intr[:, :, :2, :] / H)
+        cam_origin = jnp.broadcast_to(
+            G.get_ray_origin(qc2w_flat)[:, None, :], (B * n_hyp, n_rays, 3)
+        )
+        eye = jnp.broadcast_to(jnp.eye(4), (B * n_hyp, 4, 4))
+        proj = G.project_rays(cam_origin, lf_coords[..., :3], eye, intr_norm.reshape(B * V, 4, 4))
+        return proj["overlaps_image"].reshape(B, n_hyp, n_rays).any(axis=1)
+
     def __call__(self, batch: Dict[str, Any], val: bool = False, train: bool = False):
         state = self.encode(batch, train=train)
         return self.render(batch, state, val=val, train=train)

@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run without LPIPS (NOT the full reference protocol)")
     p.add_argument("--fast", action="store_true", default=False,
                    help="throughput config: bf16 + MXU sampling (~1e-3 feature error)")
+    p.add_argument("--prune_invalid", action="store_true", default=False,
+                   help="skip ray chunks outside the epipolar valid mask (the "
+                        "reference renders them and overwrites white); rgb is "
+                        "identical, aux panel outputs zero-fill pruned rays")
     return p
 
 
@@ -93,6 +97,7 @@ def main():
     acc = evaluate(
         model, variables, dataset, batch_size=opt.batch_size, chunk=opt.chunk,
         max_batches=opt.max_batches, lpips_weights=opt.lpips_weights, logger=logger,
+        prune_invalid=opt.prune_invalid,
     )
     print(acc.format())
 

@@ -153,3 +153,67 @@ def test_val_fn_full_loss_parity(setup):
     # honest entropy scalar from the REAL at_wt
     assert "val_ent" in logger.scalars and np.isfinite(logger.scalars["val_ent"])
     assert "val_warped_img" in logger.images
+
+
+def _rotated_batch(batch_np, deg=90.0):
+    """Rotate the query camera about the up axis so a large fraction of rays
+    fall outside both context epipolar frusta (sparse valid mask)."""
+    b = {k: {kk: np.array(vv) for kk, vv in v.items()} for k, v in batch_np.items()}
+    th = np.deg2rad(deg)
+    R = np.eye(4)
+    c, s = np.cos(th), np.sin(th)
+    R[0, 0], R[0, 2], R[2, 0], R[2, 2] = c, s, -s, c
+    b["query"]["cam2world"] = b["query"]["cam2world"] @ R
+    return jax.tree.map(jnp.asarray, b)
+
+
+def test_valid_ray_mask_matches_render(setup):
+    """model.valid_ray_mask recomputes only render()'s geometry prefix; it
+    must equal render()'s own valid_mask output exactly (the drift pin the
+    pruning path relies on), on both an all-valid and a sparse-mask batch."""
+    _, model, batch_np, _, batch, variables = setup
+    for b in (batch, _rotated_batch(batch_np)):
+        state = model.apply(variables, b, train=False, method="encode")
+        m = model.apply(variables, b, state, val=True, method="valid_ray_mask")
+        r = model.apply(variables, b, state, val=True, method="render")
+        vm_render = np.asarray(r["valid_mask"])[..., 0] > 0
+        np.testing.assert_array_equal(np.asarray(m), vm_render)
+
+
+def test_pruned_render_matches_unpruned(setup):
+    """prune_invalid=True must render FEWER chunks on a sparse-mask scene and
+    reproduce the unpruned rgb exactly (invalid rays are white either way,
+    reference CoPoNeRF.py:562-563); aux outputs must match on valid rays."""
+    from coponerf_tpu.eval.harness import make_renderer
+
+    _, model, batch_np, _, _, variables = setup
+    b = _rotated_batch(batch_np)
+    keys = ("rgb", "depth_ray", "at_wt")
+    encode, render_plain = make_renderer(model, chunk=8, keys=keys)
+    _, render_pruned = make_renderer(model, chunk=8, keys=keys, prune_invalid=True)
+    state = encode(variables, b)
+
+    mask = np.asarray(
+        model.apply(variables, b, state, val=True, method="valid_ray_mask")
+    )
+    n_valid = int(mask.sum(axis=-1).max())
+    assert 0 < n_valid < N_RAYS - 8, f"geometry no longer sparse: {n_valid}/{N_RAYS}"
+
+    plain = render_plain(variables, b, state, N_RAYS)
+    pruned = render_pruned(variables, b, state, N_RAYS)
+    assert render_pruned.last_n_rendered < N_RAYS  # actually skipped chunks
+
+    # rgb: exact protocol output, compared everywhere (invalid rays = white)
+    np.testing.assert_allclose(
+        np.asarray(pruned["rgb"]), np.asarray(plain["rgb"]), rtol=1e-5, atol=1e-5
+    )
+    # aux outputs: compared on valid rays only (pruned rays are zero-filled)
+    valid = mask[0]
+    np.testing.assert_allclose(
+        np.asarray(pruned["depth_ray"])[0, valid],
+        np.asarray(plain["depth_ray"])[0, valid],
+        rtol=1e-5, atol=1e-5,
+    )
+    at_p = np.asarray(pruned["at_wt"]).reshape(2, N_RAYS, -1)
+    at_u = np.asarray(plain["at_wt"]).reshape(2, N_RAYS, -1)
+    np.testing.assert_allclose(at_p[:, valid], at_u[:, valid], rtol=1e-5, atol=1e-5)
