@@ -122,6 +122,32 @@ def make_renderer(
         q["rgb"] = jnp.take_along_axis(batch["query"]["rgb"], idx, axis=2)[:, :, :n_render]
         return {"context": batch["context"], "query": q}
 
+    @functools.partial(jax.jit, static_argnames=("n_rays",))
+    def scatter_back(rendered, order, n_rays: int):
+        """Undo the valid-first permutation ON DEVICE: pad each rendered
+        buffer from n_render to n_rays with its fill value (rgb=white — exactly
+        render()'s vm_any overwrite — aux keys zero), then gather with the
+        inverse permutation.  Keeping this jitted avoids 2 full-buffer
+        host round trips per key over the tunneled backend (measured: the
+        numpy put_along_axis formulation made pruning a net LOSS, 1.28 vs
+        1.12 s/image at 256^2/25% valid)."""
+        inv = jnp.argsort(order, axis=-1)  # original ray -> permuted position
+        B = order.shape[0]
+        out = {}
+        for k, v in rendered.items():
+            ax = _RAY_AXIS[k]
+            pad = [(0, 0)] * v.ndim
+            pad[ax] = (0, n_rays - v.shape[ax])
+            vp = jnp.pad(v, pad, constant_values=1.0 if k == "rgb" else 0.0)
+            # some per-ray outputs carry a b-major (B*V) leading dim (at_wt,
+            # T_to_*): repeat each batch element's permutation per view slot
+            assert v.shape[0] % B == 0, (k, v.shape)
+            idx_k = jnp.repeat(inv, v.shape[0] // B, axis=0)
+            ish = [1] * v.ndim
+            ish[0], ish[ax] = idx_k.shape[0], idx_k.shape[1]
+            out[k] = jnp.take_along_axis(vp, idx_k.reshape(ish), axis=ax)
+        return out
+
     def render_image_pruned(variables, batch, state, n_rays: int):
         mask = np.asarray(ray_mask(variables, batch, state))  # (B, n_rays) bool
         n_valid = int(mask.sum(axis=-1).max())
@@ -133,31 +159,12 @@ def make_renderer(
         # render >= 1 chunk: keeps output shapes key-complete in the (degenerate)
         # all-invalid case, and any invalid rays inside the rendered prefix come
         # out white from render()'s own vm_any overwrite.
-        order = np.argsort(~mask, axis=-1, kind="stable")
+        order = jnp.asarray(np.argsort(~mask, axis=-1, kind="stable"))
         n_render = min(n_rays, max(chunk, -(-n_valid // chunk) * chunk))
         render_image_pruned.last_n_rendered = n_render
-        idx = order[:, :n_render]
-        pbatch = permute_rays(batch, jnp.asarray(order), n_render)
+        pbatch = permute_rays(batch, order, n_render)
         rendered = render_image(variables, pbatch, state, n_render)
-        # scatter back into full-length buffers; never-rendered rays: rgb=white
-        # (exactly render()'s vm_any overwrite), aux keys zero
-        out = {}
-        B = idx.shape[0]
-        for k in keys:
-            v = np.asarray(rendered[k])
-            ax = _RAY_AXIS[k]
-            shape = list(v.shape)
-            shape[ax] = n_rays
-            full = np.full(shape, 1.0 if k == "rgb" else 0.0, dtype=v.dtype)
-            # some per-ray outputs carry a b-major (B*V) leading dim (at_wt,
-            # T_to_*): repeat each batch element's permutation per view slot
-            assert shape[0] % B == 0, (k, shape)
-            idx_k = np.repeat(idx, shape[0] // B, axis=0)
-            ish = [1] * full.ndim
-            ish[0], ish[ax] = idx_k.shape[0], idx_k.shape[1]
-            np.put_along_axis(full, idx_k.reshape(ish), v, axis=ax)
-            out[k] = jnp.asarray(full)
-        return out
+        return scatter_back(rendered, order, n_rays)
 
     return encode, render_image_pruned
 
