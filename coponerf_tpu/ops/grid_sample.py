@@ -123,11 +123,18 @@ def grid_sample_nchw(
     return jnp.moveaxis(out, -1, 1)
 
 
+# Formulation switch for the dense warp sampler, A/B-able in one process
+# (scripts/probe_dense_warp.py): "rowpair" = two (C, 2) row-pair gathers from
+# the flat image; "patch" = one (C, 2, 2) patch gather + multiply/reduce
+# blend.  Same numerics either way (pinned in tests/test_ops.py).
+DENSE_WARP_IMPL = "rowpair"
+
+
 def grid_sample_dense_nchw(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     """Dense few-channel variant of ``grid_sample_nchw`` (zeros padding,
     align_corners=False) for full-image flow warps (C = 2-3, P = H*W points).
 
-    The patch-gather formulation above materializes (P, 2, 2, C) corner
+    The naive patch-gather formulation above materializes (P, 2, 2, C) corner
     patches and (P, 2, 2) blend weights; with C in lanes and the patch cell
     in sublanes, TPU (8, 128) tiling pads those to ~43x (C=3) / ~256x
     (weights) their logical size — ~0.8-1.6 GB EACH at 256^2 batch 6, which
@@ -139,6 +146,14 @@ def grid_sample_dense_nchw(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray
     of recomputing.  Numerics are identical to grid_sample_nchw (same
     unnormalize / 2-texel zero ring / corner weights); equivalence is pinned
     in tests/test_ops.py.
+
+    A single (C, 2, 2) patch-gather variant (half the gather indices) is kept
+    behind ``DENSE_WARP_IMPL`` — measured NEUTRAL-to-negative on v5e (the
+    2-row slice leaves the gather engine's fast path, giving back what the
+    halved index count saves; see PERF.md r4 notes), with two further traps
+    measured along the way: slicing the patch into top/bot pairs doubles its
+    HBM footprint (OOM at the no-remat batch-6 peak), and an einsum blend
+    lowers to a DEFAULT-precision TPU dot (bf16-truncated blend).
     """
     B, C, H, W = image.shape
     batch_shape = grid.shape[:-1]
@@ -157,10 +172,29 @@ def grid_sample_dense_nchw(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray
 
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
-    wx = (x - x0f).astype(image.dtype).reshape(B, 1, -1)
-    wy = (y - y0f).astype(image.dtype).reshape(B, 1, -1)
+    wx = (x - x0f).astype(image.dtype).reshape(B, -1)
+    wy = (y - y0f).astype(image.dtype).reshape(B, -1)
     sx = jnp.clip(x0f.astype(jnp.int32), 0, Wp - 2)
     sy = jnp.clip(y0f.astype(jnp.int32), 0, Hp - 2)
+
+    if DENSE_WARP_IMPL == "patch":
+        padded = jnp.pad(image, ((0, 0), (0, 0), (2, 2), (2, 2)))  # (B, C, Hp, Wp)
+        starts = jnp.stack([sy, sx], axis=-1).reshape(B, -1, 2)    # (B, P, 2)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(0, 1, 2), collapsed_slice_dims=(), start_index_map=(1, 2)
+        )
+
+        def per_view(img, st):
+            return jax.lax.gather(img, st, dn, slice_sizes=(C, 2, 2), mode="clip")
+
+        patch = jax.vmap(per_view)(padded, starts)  # (B, C, 2, 2, P)
+        patch4 = patch.reshape(B, C, 4, -1)         # corners [y0x0, y0x1, y1x0, y1x1]
+        w4 = jnp.stack(
+            [(1.0 - wy) * (1.0 - wx), (1.0 - wy) * wx, wy * (1.0 - wx), wy * wx],
+            axis=1,
+        )                                           # (B, 4, P)
+        out = jnp.sum(patch4 * w4[:, None], axis=2)
+        return out.reshape(B, C, *batch_shape[1:])
 
     flat = jnp.pad(image, ((0, 0), (0, 0), (2, 2), (2, 2))).reshape(B, C, Hp * Wp)
     ftop = (sy * Wp + sx).reshape(B, -1, 1)  # (B, P, 1) flat start of the top x-pair
@@ -176,6 +210,8 @@ def grid_sample_dense_nchw(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray
         bot = jax.lax.gather(img, st + Wp, dn, slice_sizes=(C, 2), mode="clip")
         return top, bot
 
+    wx = wx.reshape(B, 1, -1)
+    wy = wy.reshape(B, 1, -1)
     top, bot = jax.vmap(per_view)(flat, ftop)  # (B, C, 2, P) each
     row_t = top[:, :, 0] * (1.0 - wx) + top[:, :, 1] * wx
     row_b = bot[:, :, 0] * (1.0 - wx) + bot[:, :, 1] * wx

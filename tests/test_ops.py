@@ -274,34 +274,45 @@ def test_flat_flow_extraction_matches_5d_path():
     )
 
 
-def test_grid_sample_dense_matches_patch_formulation():
-    """The lane-friendly dense warp sampler (row-pair gathers, flat weights)
-    must be numerically identical to the patch-gather grid_sample in zeros
-    mode — including out-of-range, extreme, and NaN coordinates — and its
-    gradient w.r.t. the grid must match."""
-    from coponerf_tpu.ops.grid_sample import grid_sample_dense_nchw
+@pytest.mark.parametrize("impl", ["rowpair", "patch"])
+def test_grid_sample_dense_matches_patch_formulation(impl):
+    """Both dense warp sampler formulations (row-pair gathers and the single
+    (C,2,2) patch gather behind DENSE_WARP_IMPL) must be numerically identical
+    to the patch-gather grid_sample in zeros mode — including out-of-range,
+    extreme, and NaN coordinates — and their gradient w.r.t. the grid must
+    match."""
+    import importlib
+
+    # NB: `from coponerf_tpu.ops import grid_sample` binds the FUNCTION the
+    # package re-exports, not the module — importlib gets the module itself.
+    gs = importlib.import_module("coponerf_tpu.ops.grid_sample")
 
     img = RNG.randn(2, 3, 12, 10).astype(np.float32)
     grid = (RNG.rand(2, 12, 10, 2).astype(np.float32) * 4 - 2)
     grid[0, 0, 0] = [1e9, -1e9]
     grid[1, 0, 1] = [np.nan, 0.3]
-    ref = grid_sample_nchw(jnp.asarray(img), jnp.asarray(grid), padding_mode="zeros")
-    got = grid_sample_dense_nchw(jnp.asarray(img), jnp.asarray(grid))
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+    prev = gs.DENSE_WARP_IMPL
+    gs.DENSE_WARP_IMPL = impl
+    try:
+        ref = grid_sample_nchw(jnp.asarray(img), jnp.asarray(grid), padding_mode="zeros")
+        got = gs.grid_sample_dense_nchw(jnp.asarray(img), jnp.asarray(grid))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
-    # gradient w.r.t. the sampling grid (the only grad path the SSIM loss
-    # uses: warped images are data constants, masks are boolean)
-    finite_grid = np.clip(np.nan_to_num(grid), -1.5, 1.5)
+        # gradient w.r.t. the sampling grid (the only grad path the SSIM loss
+        # uses: warped images are data constants, masks are boolean)
+        finite_grid = np.clip(np.nan_to_num(grid), -1.5, 1.5)
 
-    def loss_ref(g):
-        return jnp.sum(grid_sample_nchw(jnp.asarray(img), g, padding_mode="zeros") ** 2)
+        def loss_ref(g):
+            return jnp.sum(grid_sample_nchw(jnp.asarray(img), g, padding_mode="zeros") ** 2)
 
-    def loss_dense(g):
-        return jnp.sum(grid_sample_dense_nchw(jnp.asarray(img), g) ** 2)
+        def loss_dense(g):
+            return jnp.sum(gs.grid_sample_dense_nchw(jnp.asarray(img), g) ** 2)
 
-    g_ref = jax.grad(loss_ref)(jnp.asarray(finite_grid))
-    g_dense = jax.grad(loss_dense)(jnp.asarray(finite_grid))
-    np.testing.assert_allclose(np.asarray(g_dense), np.asarray(g_ref), atol=1e-4)
+        g_ref = jax.grad(loss_ref)(jnp.asarray(finite_grid))
+        g_dense = jax.grad(loss_dense)(jnp.asarray(finite_grid))
+        np.testing.assert_allclose(np.asarray(g_dense), np.asarray(g_ref), atol=1e-4)
+    finally:
+        gs.DENSE_WARP_IMPL = prev
 
 
 def test_warp_matches_torch_oracle():
