@@ -93,6 +93,11 @@ class TrainConfig:
     # unknown and falls back to steps_til_summary (a faster decay — only
     # acceptable for synthetic smoke runs).
     steps_per_epoch: int = 0
+    # ravel params/grads to ONE vector inside the optimizer (optax.flatten):
+    # fuses the per-leaf Adam/finite-select kernel tail into a few wide ops.
+    # Changes the optimizer-state layout (flat mu/nu) — checkpoints are not
+    # interchangeable with the default; opt-in for the throughput config.
+    flat_optimizer: bool = False
     mesh_shape: Tuple[int, ...] = (-1,)   # 1-D data-parallel mesh by default
     mesh_axes: Tuple[str, ...] = ("data",)
     # debug toggle (SURVEY §5): raise at the op that first produces a NaN

@@ -47,9 +47,14 @@ def _worker(dataset, task_q, result_q, base_seed: int):
 class PrefetchLoader:
     """Iterates collated batches produced by ``num_workers`` processes.
 
-    shuffle=True: endless stream over reshuffled epochs (training).
-    shuffle=False: exactly one in-order epoch (eval) — runs single-process
-    to preserve determinism and ordering.
+    shuffle=True: endless stream over reshuffled epochs (training); batch
+    order is worker completion order.
+    shuffle=False: exactly one in-order epoch (eval).  With num_workers > 0
+    the decode runs in worker processes and results are reassembled in task
+    order (a bounded reorder buffer), so eval stays deterministic for
+    deterministic-per-index datasets (VisSceneDataset et al.) while scene
+    decode overlaps the consumer's device work — the reference's
+    DataLoader-at-eval equivalent (test.py:130).
     """
 
     def __init__(
@@ -66,7 +71,7 @@ class PrefetchLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
-        self.num_workers = num_workers if shuffle else 0
+        self.num_workers = num_workers
         self.prefetch = max(1, prefetch)
         self.drop_last = drop_last
         self._procs = []
@@ -119,6 +124,31 @@ class PrefetchLoader:
                 p.terminate()
         self._procs = []
 
+    def _ordered_iter(self) -> Iterator:
+        """One epoch, worker-decoded, yielded strictly in task order."""
+        self._start()
+        pending = self._epoch_batches(np.random.RandomState(self.seed), 0)
+        buf = {}
+        next_yield = 0
+        submitted = 0
+        try:
+            while next_yield < len(pending):
+                while (
+                    submitted < len(pending)
+                    and submitted - next_yield < self.num_workers + self.prefetch
+                ):
+                    self._task_q.put((0, submitted, pending[submitted]))
+                    submitted += 1
+                while next_yield not in buf:
+                    tid, batch, err = self._result_q.get()
+                    if err is not None:
+                        raise RuntimeError(f"loader worker failed on task {tid}: {err}")
+                    buf[tid] = batch
+                yield buf.pop(next_yield)
+                next_yield += 1
+        finally:
+            self.close()
+
     def __iter__(self) -> Iterator:
         if self.num_workers <= 0:
             yield from self._serial_iter()
@@ -129,6 +159,9 @@ class PrefetchLoader:
             # epoch/shuffle mix) into this iteration — restart the pool with
             # fresh queues instead
             self.close()
+        if not self.shuffle:
+            yield from self._ordered_iter()
+            return
         self._start()
         rng = np.random.RandomState(self.seed)
         epoch = 0

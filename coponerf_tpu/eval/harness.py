@@ -181,11 +181,22 @@ def evaluate(
     verbose: bool = True,
     logger=None,
     prune_invalid: bool = False,
+    drop_last: bool = True,
+    num_workers: int = 0,
 ) -> M.MetricAccumulator:
     """logger: optional training.trainer.MetricLogger — when given, per-batch
     image panels and pose scalars are written as in the reference
-    (test.py:270 img_summaries)."""
-    from coponerf_tpu.data.scene_dataset import collate
+    (test.py:270 img_summaries).
+
+    drop_last=True matches the reference eval protocol exactly (its DataLoader
+    is constructed with drop_last=True, test.py:130) — the n % batch_size tail
+    scenes are NOT evaluated.  drop_last=False evaluates every scene (one extra
+    compile for the smaller final batch); a deliberate deviation, off by default.
+
+    num_workers>0 decodes scenes in worker processes (ordered PrefetchLoader)
+    so cv2/npz decode overlaps the TPU render instead of serializing with it;
+    results are identical to num_workers=0 for deterministic eval datasets."""
+    from coponerf_tpu.data.loader import PrefetchLoader
 
     if lpips_weights is None:
         # the reference protocol ALWAYS reports LPIPS (test.py:258-263);
@@ -202,69 +213,69 @@ def evaluate(
     encode, render_image = make_renderer(model, chunk, prune_invalid=prune_invalid)
     acc = M.MetricAccumulator()
 
-    # every scene is evaluated, including the tail batch of n % batch_size
-    # scenes (the reference DataLoader uses drop_last=False, test.py:130); the
-    # smaller final batch costs one extra compile but keeps the scene set
-    # identical to the reference protocol
-    n = len(dataset)
-    indices = list(range(n))
-    batches = [indices[i: i + batch_size] for i in range(0, len(indices), batch_size)]
+    loader = PrefetchLoader(
+        dataset, batch_size, shuffle=False, num_workers=num_workers,
+        drop_last=drop_last,
+    )
+    n_batches = len(loader)
     if max_batches:
-        batches = batches[:max_batches]
+        n_batches = min(n_batches, max_batches)
+    it = iter(loader)
+    try:
+        for bi in range(n_batches):
+            batch_np, gt, overlaps = next(it)
+            bs = batch_np["context"]["rgb"].shape[0]
+            batch = jax.tree.map(jnp.asarray, batch_np)
+            n_rays = batch["query"]["uv"].shape[2]
 
-    for bi, idxs in enumerate(batches):
-        bs = len(idxs)
-        items = [dataset[i] for i in idxs]
-        batch_np, gt, overlaps = collate(items)
-        batch = jax.tree.map(jnp.asarray, batch_np)
-        n_rays = batch["query"]["uv"].shape[2]
+            t0 = time.time()
+            state = encode(variables, batch)
+            rendered = render_image(variables, batch, state, n_rays)
+            rgb, depth = rendered["rgb"], rendered["depth_ray"]
+            rgb = jax.block_until_ready(rgb)
+            dt = time.time() - t0
 
-        t0 = time.time()
-        state = encode(variables, batch)
-        rendered = render_image(variables, batch, state, n_rays)
-        rgb, depth = rendered["rgb"], rendered["depth_ray"]
-        rgb = jax.block_until_ready(rgb)
-        dt = time.time() - t0
+            rgb = np.asarray(rgb).reshape(bs, image_size, image_size, 3)
+            target = np.asarray(gt["rgb"]).reshape(bs, image_size, image_size, 3)
+            rgb = (np.clip(rgb, -1, 1) + 1) * 0.5
+            target = (target + 1) * 0.5
 
-        rgb = np.asarray(rgb).reshape(bs, image_size, image_size, 3)
-        target = np.asarray(gt["rgb"]).reshape(bs, image_size, image_size, 3)
-        rgb = (np.clip(rgb, -1, 1) + 1) * 0.5
-        target = (target + 1) * 0.5
+            rel_pose = np.asarray(state.rel_pose)
+            ctx_c2w = np.asarray(batch_np["context"]["cam2world"])
+            gt_rel = np.linalg.inv(ctx_c2w[:, 0]) @ ctx_c2w[:, 1]
+            rot = M.rotation_geodesic(rel_pose[:, :3, :3], gt_rel[:, :3, :3])
+            trans_l2, trans_ang = M.translation_error(rel_pose[:, :3, 3], gt_rel[:, :3, 3])
 
-        rel_pose = np.asarray(state.rel_pose)
-        ctx_c2w = np.asarray(batch_np["context"]["cam2world"])
-        gt_rel = np.linalg.inv(ctx_c2w[:, 0]) @ ctx_c2w[:, 1]
-        rot = M.rotation_geodesic(rel_pose[:, :3, :3], gt_rel[:, :3, :3])
-        trans_l2, trans_ang = M.translation_error(rel_pose[:, :3, 3], gt_rel[:, :3, 3])
+            for e in range(bs):
+                vals = {
+                    "psnr": M.psnr(rgb[e], target[e]),
+                    "mse": float(np.mean((rgb[e] - target[e]) ** 2)),
+                    "ssim": M.ssim(rgb[e], target[e]),
+                    "rot": float(rot[e]),
+                    "trans": float(trans_l2[e]),
+                    "angle_trans": float(trans_ang[e]),
+                    "rays_per_sec": n_rays * bs / dt,
+                }
+                lp = M.lpips_vgg(rgb[e] * 2 - 1, target[e] * 2 - 1, lpips_weights)
+                if lp is not None:
+                    vals["lpips"] = lp
+                acc.add(M.overlap_bin(float(np.ravel(overlaps)[e])), **vals)
+            if logger is not None:
+                from coponerf_tpu.training.summaries import img_summaries
 
-        for e in range(bs):
-            vals = {
-                "psnr": M.psnr(rgb[e], target[e]),
-                "mse": float(np.mean((rgb[e] - target[e]) ** 2)),
-                "ssim": M.ssim(rgb[e], target[e]),
-                "rot": float(rot[e]),
-                "trans": float(trans_l2[e]),
-                "angle_trans": float(trans_ang[e]),
-                "rays_per_sec": n_rays * bs / dt,
-            }
-            lp = M.lpips_vgg(rgb[e] * 2 - 1, target[e] * 2 - 1, lpips_weights)
-            if lp is not None:
-                vals["lpips"] = lp
-            acc.add(M.overlap_bin(float(np.ravel(overlaps)[e])), **vals)
-        if logger is not None:
-            from coponerf_tpu.training.summaries import img_summaries
-
-            out = {
-                "rgb": np.asarray(rgb) * 2 - 1,
-                "depth_ray": np.asarray(depth),
-                "rel_pose": rel_pose,
-                "gt_rel_pose": gt_rel,
-                "at_wt": np.asarray(rendered["at_wt"]),  # real attention weights
-                "flow": [np.asarray(f) for f in state.flows],
-            }
-            img_summaries(logger, batch_np, gt, out, bi, prefix="val_",
-                          img_shape=(image_size, image_size))
-        if verbose:
-            print(f"{bi + 1}/{len(batches)} done.")
-            print(acc.format())
+                out = {
+                    "rgb": np.asarray(rgb) * 2 - 1,
+                    "depth_ray": np.asarray(depth),
+                    "rel_pose": rel_pose,
+                    "gt_rel_pose": gt_rel,
+                    "at_wt": np.asarray(rendered["at_wt"]),  # real attention weights
+                    "flow": [np.asarray(f) for f in state.flows],
+                }
+                img_summaries(logger, batch_np, gt, out, bi, prefix="val_",
+                              img_shape=(image_size, image_size))
+            if verbose:
+                print(f"{bi + 1}/{n_batches} done.")
+                print(acc.format())
+    finally:
+        it.close()  # stops loader workers even on early exit
     return acc

@@ -57,6 +57,9 @@ def apply_if_finite_select(
     from optax._src.wrappers import ApplyIfFiniteState
 
     inc = getattr(optax, "safe_increment", None) or optax.safe_int32_increment
+    # forward runtime extra args (e.g. loss values for lookahead-style inner
+    # transforms) exactly as stock optax.apply_if_finite does
+    inner = optax.with_extra_args_support(inner)
 
     def init(params):
         return ApplyIfFiniteState(
@@ -74,7 +77,9 @@ def apply_if_finite_select(
             isfinite, jnp.zeros([], jnp.int32), inc(state.notfinite_count)
         )
         accept = jnp.logical_or(isfinite, notfinite_count > max_consecutive_errors)
-        new_updates, new_inner = inner.update(updates, state.inner_state, params)
+        new_updates, new_inner = inner.update(
+            updates, state.inner_state, params, **extra_args
+        )
         out_updates = jax.tree.map(
             lambda n: jnp.where(accept, n, jnp.zeros_like(n)), new_updates
         )
@@ -106,7 +111,17 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
         optax.adam(schedule),
     )
     # skip the update entirely when any grad is NaN/Inf (wrapper.py:44-58,139-141)
-    return apply_if_finite_select(opt, max_consecutive_errors=10 ** 8)
+    wrapped = apply_if_finite_select(opt, max_consecutive_errors=10 ** 8)
+    if cfg.train.flat_optimizer:
+        # run the whole transform on ONE raveled vector: the ~300-leaf model
+        # otherwise lowers Adam + finite-select + norm pieces to hundreds of
+        # small per-leaf kernels per step (op-count tail); flat, they fuse
+        # into a handful of wide elementwise kernels and a single isfinite
+        # scan.  Math is identical; the OPTIMIZER STATE LAYOUT differs (flat
+        # mu/nu), so checkpoints are not interchangeable with the default —
+        # opt-in for the throughput config.
+        return optax.flatten(wrapped)
+    return wrapped
 
 
 def create_train_state(cfg: Config, batch, rng) -> TrainState:
@@ -236,6 +251,16 @@ def train(
             logger.log(step, m)
         if cfg.train.iters_til_ckpt and step and step % cfg.train.iters_til_ckpt == 0:
             ckpt_lib.save(ckpt_dir, state, step)
+        # epoch-cadence snapshot (reference wrapper.py:97-99 saves
+        # model_epoch_%04d at the start of every epochs_til_ckpt-th epoch)
+        steps_per_epoch = cfg.train.steps_per_epoch or cfg.train.steps_til_summary
+        if (
+            cfg.train.epochs_til_ckpt
+            and step
+            and step % (steps_per_epoch * cfg.train.epochs_til_ckpt) == 0
+        ):
+            epoch = step // steps_per_epoch
+            ckpt_lib.save(ckpt_dir, state, step, name=f"model_epoch_{epoch:04d}")
         if step and step % cfg.train.steps_til_summary == 0:
             # rolling checkpoint every summary interval (wrapper.py:134-136)
             ckpt_lib.save(ckpt_dir, state, step, name="model_current")

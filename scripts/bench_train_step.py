@@ -35,6 +35,8 @@ RAYS = 192
 REMAT = not ({"--no-remat", "--no_remat"} & set(sys.argv))
 # A/B the fused conv_map+sampling custom VJP (ops/convmap_sample.py)
 FUSED_CONV = "--no_fused_conv" not in sys.argv
+# A/B the single-vector optimizer (optax.flatten over the whole transform)
+FLAT_OPT = "--flat_opt" in sys.argv
 
 
 def main():
@@ -42,7 +44,7 @@ def main():
         model=ModelConfig(compute_dtype="bfloat16", fast_sampling=True, remat_ufc=REMAT,
                           convmap_direct_grad=FUSED_CONV),
         loss=LossConfig(pose=True, cycle=True, ssim=True),
-        train=TrainConfig(),
+        train=TrainConfig(flat_optimizer=FLAT_OPT),
     )
     model = CoPoNeRF(cfg.model)
     batch_np, _ = make_batch(batch_size=BATCH, image_size=IMG, n_rays=RAYS, seed=0)

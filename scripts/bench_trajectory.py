@@ -24,16 +24,27 @@ CHUNK_DEFAULT = 32768
 
 
 def main():
-    _pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    cf, chunk = CF_DEFAULT, CHUNK_DEFAULT
+    _pos = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):  # space-separated flag values must not leak into _pos
+        a = argv[i]
+        if a.startswith("--cf"):
+            ab = a.split("=", 1)[1] if "=" in a else argv[i + 1]
+            cf = tuple(int(x) for x in ab.split(","))
+            i += 1 if "=" in a else 2
+        elif a.startswith("--chunk"):
+            ab = a.split("=", 1)[1] if "=" in a else argv[i + 1]
+            chunk = int(ab)
+            i += 1 if "=" in a else 2
+        elif a.startswith("-"):
+            raise SystemExit(f"unknown flag {a!r} (known: --cf A,B  --chunk N)")
+        else:
+            _pos.append(a)
+            i += 1
     n_frames = int(_pos[0]) if _pos else 30
     size = int(_pos[1]) if len(_pos) > 1 else 256
-    cf, chunk = CF_DEFAULT, CHUNK_DEFAULT
-    for a in sys.argv[1:]:
-        if a.startswith("--cf"):
-            ab = a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1]
-            cf = tuple(int(x) for x in ab.split(","))
-        if a.startswith("--chunk"):
-            chunk = int(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
     chunk = min(chunk, size * size)
 
     import jax

@@ -126,14 +126,20 @@ def main():
 
     base = results["exact"]
     print(f"\nn = {n_scenes} scenes; dPSNR/drot are PAIRED per-scene deltas vs exact (mean +/- std)")
-    print("| config | PSNR (dB) | dPSNR (mean +/- std) | SSIM | rot (rad) | drot | trans |")
-    print("|---|---|---|---|---|---|---|")
+    print("| config | PSNR (dB) | dPSNR (mean +/- std) | max scene dPSNR | SSIM | rot (rad) | drot | trans |")
+    print("|---|---|---|---|---|---|---|---|")
     import numpy as np
 
     for name, r in results.items():
         dpsnr = r["per_scene"]["psnr"] - base["per_scene"]["psnr"]
         drot = r["per_scene"]["rot"] - base["per_scene"]["rot"]
+        # the worst-case per-scene bound (gate 1e): the mean can sit inside
+        # the 0.1 dB budget while an individual scene blows it — report the
+        # signed delta whose |.| is largest so the default-config policy can
+        # be gated on the worst scene, not the mean
+        wc = dpsnr[np.argmax(np.abs(dpsnr))] if len(dpsnr) else 0.0
         print(f"| {name} | {r['psnr']:.4f} | {dpsnr.mean():+.4f} +/- {dpsnr.std():.4f} | "
+              f"{wc:+.4f} | "
               f"{r['ssim']:.4f} | {r['rot']:.4f} | {drot.mean():+.4f} +/- {drot.std():.4f} | "
               f"{r['trans']:.4f} |")
 

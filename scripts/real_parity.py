@@ -173,11 +173,24 @@ def main():
         "psnr_within_budget": abs(deltas.get("psnr", 0.0)) <= PSNR_BUDGET_DB,
         "rot_within_budget": abs(deltas.get("rot", 0.0)) <= ROT_BUDGET_RAD,
     }
+    # per-key tolerance for --expect checks against published numbers; each
+    # key gets a budget in its own units (previously everything but psnr was
+    # gated against the rotation budget — meaningless for ssim/trans)
+    expect_budgets = {
+        "psnr": PSNR_BUDGET_DB,
+        "ssim": 0.005,
+        "lpips": 0.005,
+        "rot": ROT_BUDGET_RAD,
+        "trans": 0.005,
+        "angle_trans": 0.01,  # radians of translation-direction angle
+    }
     expected = {}
     if args.expect:
         for kv in args.expect.split(","):
             k, v = kv.split("=")
-            budget = PSNR_BUDGET_DB if k == "psnr" else ROT_BUDGET_RAD
+            if k not in expect_budgets:
+                ap.error(f"--expect: unknown key {k!r} (known: {sorted(expect_budgets)})")
+            budget = expect_budgets[k]
             meas = exact["all"][f"{k}_avg"]
             expected[k] = {
                 "expected": float(v), "measured_exact": meas,
@@ -194,7 +207,8 @@ def main():
         "fast": fast,
         "fast_minus_exact_all": deltas,
         "gates": gates,
-        "budgets": {"psnr_db": PSNR_BUDGET_DB, "rot_rad": ROT_BUDGET_RAD},
+        "budgets": {"psnr_db": PSNR_BUDGET_DB, "rot_rad": ROT_BUDGET_RAD,
+                    "expect": expect_budgets},
         "published": expected,
     }
     path = os.path.join(args.out, "report.json")

@@ -38,6 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip ray chunks outside the epipolar valid mask (the "
                         "reference renders them and overwrites white); rgb is "
                         "identical, aux panel outputs zero-fill pruned rays")
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="eval scene-decode worker processes (0 = in-thread, "
+                        "the reference's num_workers=0 at eval, test.py:130; "
+                        ">0 overlaps decode with TPU render, same results)")
+    p.add_argument("--include_tail", action="store_true", default=False,
+                   help="evaluate the n %% batch_size tail scenes too "
+                        "(deviation: the reference DataLoader drops them, "
+                        "drop_last=True, test.py:130)")
     return p
 
 
@@ -97,7 +105,8 @@ def main():
     acc = evaluate(
         model, variables, dataset, batch_size=opt.batch_size, chunk=opt.chunk,
         max_batches=opt.max_batches, lpips_weights=opt.lpips_weights, logger=logger,
-        prune_invalid=opt.prune_invalid,
+        prune_invalid=opt.prune_invalid, drop_last=not opt.include_tail,
+        num_workers=opt.num_workers,
     )
     print(acc.format())
 

@@ -207,19 +207,39 @@ def test_prefetch_loader_multiprocess(fake_root):
 
 
 def test_prefetch_loader_serial_eval_matches_batch_iterator(fake_root):
-    """shuffle=False runs single-process, in order, one epoch — identical to
-    batch_iterator."""
+    """shuffle=False num_workers=0 runs single-process, in order, one epoch —
+    identical to batch_iterator."""
     from coponerf_tpu.data.loader import PrefetchLoader
 
     img_root, pose_root, _ = fake_root
     ds = RealEstate10k(img_root, pose_root, query_sparsity=16, seed=3)
     a = list(batch_iterator(ds, batch_size=1, shuffle=False))
     ds2 = RealEstate10k(img_root, pose_root, query_sparsity=16, seed=3)
-    b = list(iter(PrefetchLoader(ds2, batch_size=1, shuffle=False, num_workers=4)))
+    b = list(iter(PrefetchLoader(ds2, batch_size=1, shuffle=False, num_workers=0)))
     assert len(a) == len(b)
     np.testing.assert_allclose(
         a[0][0]["context"]["cam2world"], b[0][0]["context"]["cam2world"]
     )
+
+
+def test_prefetch_loader_ordered_workers_match_serial(fake_root):
+    """shuffle=False with workers reassembles results in task order: for a
+    deterministic-per-index eval dataset (Vis triplets) the stream is
+    identical to the single-process path — this is the eval-harness overlap
+    mode (reference DataLoader-at-eval, test.py:130)."""
+    from coponerf_tpu.data.loader import PrefetchLoader
+
+    img_root, pose_root, overlap = fake_root
+    ds = RealEstate10kVis(img_root, pose_root, overlap=overlap, n_skip=50)
+    serial = list(iter(PrefetchLoader(ds, batch_size=1, shuffle=False,
+                                      num_workers=0, drop_last=False)))
+    workers = list(iter(PrefetchLoader(ds, batch_size=1, shuffle=False,
+                                       num_workers=2, drop_last=False)))
+    assert len(serial) == len(workers) == len(ds)
+    for a, b in zip(serial, workers):
+        np.testing.assert_allclose(a[0]["context"]["rgb"], b[0]["context"]["rgb"])
+        np.testing.assert_allclose(a[0]["query"]["cam2world"], b[0]["query"]["cam2world"])
+        np.testing.assert_allclose(a[2], b[2])  # overlap bins in order
 
 
 def test_downloader_pose_parsing_and_mat_builder(tmp_path):

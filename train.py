@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ssim", action="store_true", default=False)
     p.add_argument("--depth", action="store_true", default=False)
     p.add_argument("--epochs_til_ckpt", type=int, default=100)
+    p.add_argument("--val_batches", type=int, default=2,
+                   help="in-training validation batches per summary interval "
+                        "(reference wrapper.py:160-254 renders a val sample)")
     p.add_argument("--steps_til_summary", type=int, default=500)
     p.add_argument("--iters_til_ckpt", type=int, default=10000)
     p.add_argument("--checkpoint_path", default=None)
@@ -60,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable UFC rematerialization: ~6%% faster step when "
                         "the activations fit (batch<=6/chip at 256^2; remat "
                         "is required for batch 12/chip)")
+    p.add_argument("--flat_opt", action="store_true", default=False,
+                   help="single-vector optimizer (optax.flatten): fuses the "
+                        "per-leaf Adam kernel tail; optimizer-state layout "
+                        "differs from the default (checkpoints not "
+                        "interchangeable)")
     return p
 
 
@@ -143,6 +151,7 @@ def main():
             epochs_til_ckpt=opt.epochs_til_ckpt,
             iters_til_ckpt=opt.iters_til_ckpt,
             steps_per_epoch=steps_per_epoch,
+            flat_optimizer=opt.flat_opt,
             debug_nans=opt.debug_nans,
         ),
         logging_root=opt.logging_root,
@@ -167,9 +176,10 @@ def main():
         it = batch_iterator(val_ds, batch_size=1, shuffle=False)
         for i, vb in enumerate(it):
             val_batches.append(vb)
-            if i >= 1:
+            if i >= opt.val_batches - 1:
                 break
-        val_fn = make_val_fn(cfg, val_batches, image_size=opt.image_size)
+        val_fn = make_val_fn(cfg, val_batches, image_size=opt.image_size,
+                             max_batches=opt.val_batches)
 
     state = None
     if opt.checkpoint_path:
