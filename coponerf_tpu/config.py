@@ -62,6 +62,12 @@ class ModelConfig:
     # transpose kernels + the conv correlation, trace-verified).  Forward
     # numerics are identical; gradients differ only in reduction order.
     convmap_direct_grad: bool = True
+    # Roll each UFC stage's identical layers into one lax.scan over stacked
+    # params (models/ufc.py): same runtime math, much smaller encode HLO and
+    # compile time.  Param layout differs from the default loop layout
+    # (stack_ufc_params/unstack_ufc_params convert) — opt-in so default
+    # checkpoints/parity trees stay stable.
+    ufc_scan: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

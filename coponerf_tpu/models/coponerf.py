@@ -85,6 +85,7 @@ class CoPoNeRF(nn.Module):
             conv4d_impl=c.conv4d_impl,
             layer_nums=tuple(c.ufc_layer_nums),
             dtype=ufc_dt,
+            scan_layers=c.ufc_scan,
             name="feature_cost_aggregation",
         )
         self.cross_attention = CrossBlock(name="cross_attention")

@@ -280,6 +280,18 @@ class UFCLayer(nn.Module):
         return corr_r, feat2
 
 
+class _UFCScanBody(nn.Module):
+    """lax.scan carry adapter around UFCLayer: carry = (corr, feat2)."""
+
+    layer_kwargs: Any
+
+    @nn.compact
+    def __call__(self, carry, _):
+        corr, ft2 = carry
+        corr, ft2 = UFCLayer(**self.layer_kwargs, name="layer")(corr, ft2)
+        return (corr, ft2), None
+
+
 class UFC(nn.Module):
     """Three-stage coarse-to-fine aggregation (models/aggregation.py:358-562).
 
@@ -302,6 +314,14 @@ class UFC(nn.Module):
     # soft-argmax stay f32).  None = f32 everywhere (the parity path).
     dtype: Any = None
     conv4d_impl: str = "2d"  # Conv4d branch formulation (see models/conv4d.py)
+    # Roll each stage's identical layers into ONE lax.scan over stacked
+    # params: the layer body is traced/compiled once per stage instead of
+    # once per layer, shrinking the encode HLO (~30k-op tail) and compile
+    # time.  Runtime math is identical (same ops re-execute per iteration).
+    # Param layout differs: layers_{s}_{i}/X becomes layers_{s}/layer/X with
+    # a leading stacked axis — stack_ufc_params()/unstack_ufc_params()
+    # convert, and tests pin loop-vs-scan output equality.
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], nview: int = 2):
@@ -322,27 +342,57 @@ class UFC(nn.Module):
                 else None
             )
             layer_cls = nn.remat(UFCLayer, policy=policy)
+            scan_body_cls = nn.remat(_UFCScanBody, policy=policy)
         else:
             layer_cls = UFCLayer
-        layers = [
-            [
-                layer_cls(
-                    feat_dim=self.feat_dim[s],
-                    corr_size=stage_hw[0],
-                    d_model=self.feat_dim[s],
-                    nhead=self.nhead,
-                    feat_size=(stage_hw[s], stage_hw[s]),
-                    feat_to_corr_kernel=self.f2c_kernel[s],
-                    feat_to_corr_stride=self.f2c_stride[s],
-                    feat_to_corr_pad=self.f2c_pad[s],
-                    dtype=self.dtype,
-                    conv4d_impl=self.conv4d_impl,
-                    name=f"layers_{s}_{i}",
-                )
-                for i in range(self.layer_nums[s])
-            ]
-            for s in range(3)
-        ]
+            scan_body_cls = _UFCScanBody
+
+        def stage_kwargs(s):
+            return dict(
+                feat_dim=self.feat_dim[s],
+                corr_size=stage_hw[0],
+                d_model=self.feat_dim[s],
+                nhead=self.nhead,
+                feat_size=(stage_hw[s], stage_hw[s]),
+                feat_to_corr_kernel=self.f2c_kernel[s],
+                feat_to_corr_stride=self.f2c_stride[s],
+                feat_to_corr_pad=self.f2c_pad[s],
+                dtype=self.dtype,
+                conv4d_impl=self.conv4d_impl,
+            )
+
+        if self.scan_layers:
+            # one scan per stage over stacked layer params (compile-time /
+            # HLO-size lever; runtime ops are unchanged)
+            def make_stage(s):
+                n = self.layer_nums[s]
+                scanned = nn.scan(
+                    scan_body_cls,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    length=n,
+                )(stage_kwargs(s), name=f"layers_{s}")
+
+                def run(corr, ft2, scanned=scanned):
+                    (corr, ft2), _ = scanned((corr, ft2), None)
+                    return corr, ft2
+
+                return run
+        else:
+            def make_stage(s):
+                mods = [
+                    layer_cls(**stage_kwargs(s), name=f"layers_{s}_{i}")
+                    for i in range(self.layer_nums[s])
+                ]
+
+                def run(corr, ft2, mods=mods):
+                    for m in mods:
+                        corr, ft2 = m(corr, ft2)
+                    return corr, ft2
+
+                return run
+
+        stage_runs = [make_stage(s) for s in range(3)]
         embedding = [
             Encoder4D(
                 **_encoder4d_args((1, self.nhead), self.f2c_kernel[s], self.f2c_stride[s], self.f2c_pad[s], (1,)),
@@ -386,8 +436,7 @@ class UFC(nn.Module):
                 corr = corr_res + corr
             if s > 0:
                 ft2 = interp_tokens(ft2_prev, (hw, hw)) + ft2
-            for layer in layers[s]:
-                corr, ft2 = layer(corr, ft2)
+            corr, ft2 = stage_runs[s](corr, ft2)
             corr_res = corr
             ft2_prev = ft2
             src, trg = ft2[:B], ft2[B:]
@@ -422,3 +471,35 @@ class UFC(nn.Module):
         flow_flip = unnormalise_and_convert_mapping_to_flow(mapping_bwd)
 
         return feat_list, (flow, flow_flip, mapping_fwd, mapping_bwd), c
+
+
+# ------------------------------------------------------------------------- #
+# Param-layout converters between the loop layout (layers_{s}_{i}/X) and the
+# scan layout (layers_{s}/layer/X with a leading stacked axis).  Checkpoints
+# are interchangeable through these; equality of the two layouts' outputs is
+# pinned in tests/test_model.py::test_ufc_scan_matches_loop.
+# ------------------------------------------------------------------------- #
+
+def stack_ufc_params(ufc_params: dict, layer_nums: Sequence[int] = (2, 2, 1)) -> dict:
+    """Loop-layout UFC param subtree -> scan layout (non-layer keys pass through)."""
+    import jax
+
+    out = {k: v for k, v in ufc_params.items() if not k.startswith("layers_")}
+    for s, n in enumerate(layer_nums):
+        per_layer = [ufc_params[f"layers_{s}_{i}"] for i in range(n)]
+        out[f"layers_{s}"] = {
+            "layer": jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *per_layer)
+        }
+    return out
+
+
+def unstack_ufc_params(ufc_params: dict, layer_nums: Sequence[int] = (2, 2, 1)) -> dict:
+    """Scan-layout UFC param subtree -> loop layout (inverse of stack_ufc_params)."""
+    import jax
+
+    out = {k: v for k, v in ufc_params.items() if not k.startswith("layers_")}
+    for s, n in enumerate(layer_nums):
+        stacked = ufc_params[f"layers_{s}"]["layer"]
+        for i in range(n):
+            out[f"layers_{s}_{i}"] = jax.tree.map(lambda x, i=i: x[i], stacked)
+    return out

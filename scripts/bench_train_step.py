@@ -37,12 +37,14 @@ REMAT = not ({"--no-remat", "--no_remat"} & set(sys.argv))
 FUSED_CONV = "--no_fused_conv" not in sys.argv
 # A/B the single-vector optimizer (optax.flatten over the whole transform)
 FLAT_OPT = "--flat_opt" in sys.argv
+# A/B the scan-rolled UFC stages (stacked layer params, one trace per stage)
+UFC_SCAN = "--ufc_scan" in sys.argv
 
 
 def main():
     cfg = Config(
         model=ModelConfig(compute_dtype="bfloat16", fast_sampling=True, remat_ufc=REMAT,
-                          convmap_direct_grad=FUSED_CONV),
+                          convmap_direct_grad=FUSED_CONV, ufc_scan=UFC_SCAN),
         loss=LossConfig(pose=True, cycle=True, ssim=True),
         train=TrainConfig(flat_optimizer=FLAT_OPT),
     )

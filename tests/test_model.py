@@ -312,3 +312,34 @@ def test_train_loop_epoch_snapshot(tmp_path):
     assert "model_epoch_0001.npz" in ckpts, ckpts
     assert "model_epoch_0002.npz" in ckpts, ckpts
     assert "model_final.npz" in ckpts, ckpts
+
+
+def test_ufc_scan_matches_loop():
+    """scan-rolled UFC stages (ModelConfig.ufc_scan) produce the same outputs
+    as the default layer loop, given the same params restacked via
+    stack_ufc_params; unstack_ufc_params round-trips exactly."""
+    from coponerf_tpu.models.ufc import UFC, stack_ufc_params, unstack_ufc_params
+
+    rng = np.random.RandomState(0)
+    feats = [
+        jnp.asarray(rng.randn(2, hw, hw, 24).astype(np.float32))
+        for hw in (4, 8, 16)
+    ]
+    kw = dict(nhead=4, feat_dim=(24, 24, 24), layer_nums=(2, 2, 1), remat=False)
+    loop = UFC(**kw)
+    scan = UFC(**kw, scan_layers=True)
+    vars_loop = loop.init(jax.random.PRNGKey(0), feats)
+    stacked = {"params": stack_ufc_params(vars_loop["params"], (2, 2, 1))}
+    # round-trip
+    rt = unstack_ufc_params(stacked["params"], (2, 2, 1))
+    for a, b in zip(jax.tree.leaves(rt), jax.tree.leaves(vars_loop["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # scan layout inits to the same SHAPES as stack_ufc_params produces
+    vars_scan = jax.eval_shape(lambda: scan.init(jax.random.PRNGKey(0), feats))
+    assert jax.tree.map(lambda x: x.shape, vars_scan["params"]) == jax.tree.map(
+        lambda x: x.shape, stacked["params"]
+    )
+    out_loop = loop.apply(vars_loop, feats)
+    out_scan = scan.apply(stacked, feats)
+    for a, b in zip(jax.tree.leaves(out_loop), jax.tree.leaves(out_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)

@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-leaf Adam kernel tail; optimizer-state layout "
                         "differs from the default (checkpoints not "
                         "interchangeable)")
+    p.add_argument("--ufc_scan", action="store_true", default=False,
+                   help="roll each UFC stage's layers into one lax.scan over "
+                        "stacked params: same math, smaller HLO / faster "
+                        "compile; param layout differs from the default "
+                        "(models/ufc.py stack_ufc_params converts)")
     return p
 
 
@@ -139,6 +144,7 @@ def main():
         model=ModelConfig(
             n_view=opt.views, compute_dtype=opt.compute_dtype,
             fast_sampling=opt.fast, remat_ufc=not opt.no_remat,
+            ufc_scan=opt.ufc_scan,
         ),
         loss=LossConfig(
             l2_coeff=opt.l2_coeff, depth=opt.depth, pose=opt.pose,
