@@ -24,12 +24,15 @@ CHUNK = 16384
 
 
 def main():
+    global CHUNK
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     outdir = args[0] if args else "/tmp/render_trace"
     cf = (0, 0)
     for a in sys.argv[1:]:
         if a.startswith("--cf="):
             cf = tuple(int(x) for x in a.split("=", 1)[1].split(","))
+        if a.startswith("--chunk="):
+            CHUNK = int(a.split("=", 1)[1])
     cfg = ModelConfig(
         fast_sampling=True, compute_dtype="bfloat16",
         coarse_samples=cf[0], fine_samples=cf[1],
