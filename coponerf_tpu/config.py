@@ -68,6 +68,13 @@ class ModelConfig:
     # (stack_ufc_params/unstack_ufc_params convert) — opt-in so default
     # checkpoints/parity trees stay stable.
     ufc_scan: bool = False
+    # Training fast path: sample the <=64^2 latent levels with the NON-banded
+    # one-hot MXU kernel instead of the XLA patch gather.  The gather itself
+    # is cheap (~1.6 ms on the gather engine) but drags per-site s32/f32
+    # coordinate-plane prefetch copies behind it (~4 ms elapsed each, r5
+    # trace); the kernel consumes two flat (B*V, P) f32 vectors.  Backward is
+    # the same one-hot transpose matmul either way.  Fast-sampling train only.
+    train_onehot_small: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -65,19 +65,38 @@ def project(x, y, z, intrinsics) -> jnp.ndarray:
     return jnp.nan_to_num(coord, nan=PROJ_SENTINEL, posinf=PROJ_SENTINEL, neginf=PROJ_SENTINEL)
 
 
+def _affine3(T: jnp.ndarray, x, y, z) -> jnp.ndarray:
+    """rows 0:3 of T @ [x, y, z, 1] with T (..., 4, 4) already aligned to the
+    point dims.  A broadcast multiply-add instead of a dot_general: XLA lowers
+    the tiny 4x4 batched einsum on per-SAMPLE point tensors to per-row
+    dot_generals that stage the whole operand into scoped memory (the
+    [rows, N, S, 1] async-slice army in the render trace); the elementwise
+    form fuses into the surrounding geometry."""
+    return (
+        T[..., :3, 0] * x[..., None]
+        + T[..., :3, 1] * y[..., None]
+        + T[..., :3, 2] * z[..., None]
+        + T[..., :3, 3]
+    )
+
+
 def project_cam2world(world_coords: jnp.ndarray, cam2world: jnp.ndarray) -> jnp.ndarray:
     """Transform world points into the camera frame of ``cam2world``.
     world_coords: (B, N, 3); cam2world: (B, 4, 4) -> (B, N, 3)."""
     w2c = jnp.linalg.inv(cam2world)
-    pts = to_homogeneous(world_coords)
-    out = jnp.einsum("bij,bnj->bni", w2c, pts)
-    return out[..., :3]
+    return _affine3(
+        w2c[..., None, :, :],
+        world_coords[..., 0], world_coords[..., 1], world_coords[..., 2],
+    )
 
 
 def world_from_xy_depth(xy, depth, cam2world, intrinsics) -> jnp.ndarray:
-    pts_cam = lift(xy[..., 0], xy[..., 1], depth, intrinsics, homogeneous=True)
-    world = jnp.einsum("b...ij,b...kj->b...ki", cam2world, pts_cam)[..., :3]
-    return world
+    fx, fy, cx, cy = parse_intrinsics(intrinsics)
+    x = xy[..., 0]
+    y = xy[..., 1]
+    x_lift = (x - _expand_as(cx, x)) / _expand_as(fx, x) * depth
+    y_lift = (y - _expand_as(cy, y)) / _expand_as(fy, y) * depth
+    return _affine3(cam2world[..., None, :, :], x_lift, y_lift, depth)
 
 
 def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
@@ -123,8 +142,8 @@ def encode_relative_point(points: jnp.ndarray, transform: jnp.ndarray) -> jnp.nd
     s = points.shape
     b, v = transform.shape[:2]
     pts = points.reshape(b, v, *s[1:])
-    pts = to_homogeneous(pts)
-    out = jnp.einsum("bvij,bvnsj->bvnsi", transform, pts)[..., :3]
+    T = transform[:, :, None, None]                     # (b, v, 1, 1, 4, 4)
+    out = _affine3(T, pts[..., 0], pts[..., 1], pts[..., 2])
     return out.reshape(*s)
 
 

@@ -323,6 +323,19 @@ class CoPoNeRF(nn.Module):
                         z, p, padding_mode=mode, out_dtype=jnp.bfloat16,
                         banded=True, block_hw=max(256, hw // 4), block_p=2048,
                     )
+                if train and hw <= 4096 and cfg.train_onehot_small:
+                    # training (ray-major tokens): the small levels use the
+                    # NON-banded one-hot MXU sampler.  The XLA patch gather
+                    # it replaces is cheap on the gather engine (~1.6 ms)
+                    # but drags a per-site index/weight DMA army behind it
+                    # (s32/f32[B*V, N*S, 1] coordinate-plane prefetch copies,
+                    # ~4 ms elapsed EACH, trace r5) — the kernel consumes two
+                    # flat (B*V, P) f32 vectors instead.  Backward is the
+                    # same one-hot transpose matmul either way.
+                    return grid_sample_onehot(
+                        z, p, padding_mode=mode, out_dtype=jnp.bfloat16,
+                        banded=False,
+                    )
                 # 256^2 stays the bf16 patch gather: it runs at the gather
                 # engine's ~11 ns/index rate, and BOTH banded one-hot
                 # formulations lose to it (grid-clamp: 421 ms; windowed
@@ -448,6 +461,46 @@ class CoPoNeRF(nn.Module):
 
         query_ray_orig = G.get_ray_origin(qc2w_flat)[:, None, None, :]
 
+        # Fast-path query-embed split (exact linear algebra, fast configs
+        # only so the parity path's float summation order is untouched).
+        # local_coords channels (reference CoPoNeRF.py:411-446) are
+        # [cam_rays 0:3 | cam_origin_zeros 3:6 | ray_dir 6:9 |
+        #  depth_encode 9:13 | query_ray_orig 13:16]: only 7 of 16 vary per
+        # SAMPLE; 6 vary per RAY (and 3 are zeros).  Splitting the embed
+        # kernels by row block moves the per-ray channels to N-token matmuls
+        # (S_x fewer tokens) and deletes the (rows, T, 16) concat per stage
+        # — and, in the repeat round, the (rows, T, ze+16)-wide concat whose
+        # f32 promotion made the round-2 embed the widest per-sample matmul
+        # in the renderer.
+        fast_embed = cfg.fast_sampling
+        if fast_embed:
+            _ps_rows = jnp.array([0, 1, 2, 9, 10, 11, 12])
+            qe_k, qe_b = self.query_embed.kernel, self.query_embed.bias
+            qe_ps, qe_rd, qe_qo = qe_k[_ps_rows], qe_k[6:9], qe_k[13:16]
+            qro_row = query_ray_orig[:, :, 0, :]                           # (B*V, 1, 3)
+            pre1_ray = ray_dir @ qe_rd + qro_row @ qe_qo + qe_b            # (B*V, N, 128)
+            if cfg.repeat_attention:
+                qre_k, qre_b = (
+                    self.query_repeat_embed.kernel,
+                    self.query_repeat_embed.bias,
+                )
+                ze_dim = qre_k.shape[0] - 16
+                qre_z = qre_k[:ze_dim]
+                qre_ps = qre_k[ze_dim + _ps_rows]
+                qre_rd, qre_qo = qre_k[ze_dim + 6: ze_dim + 9], qre_k[ze_dim + 13:]
+                pre2_ray = ray_dir @ qre_rd + qro_row @ qre_qo + qre_b     # (B*V, N, 128)
+
+        def add_perray(tok, per_ray, S_):
+            """tok (B*V, T, C) + per-ray (B*V, N, C) broadcast in token order."""
+            R = tok.shape[0]
+            if smaj:
+                t4 = tok.reshape(R, S_, n_rays, -1)
+                pr4 = per_ray[:, None]
+            else:
+                t4 = tok.reshape(R, n_rays, S_, -1)
+                pr4 = per_ray[:, :, None]
+            return (t4 + pr4).reshape(tok.shape)
+
         def run_stage(tvals, S_):
             """Everything per-sample for one sampling stage.  tvals: (S_,) or
             (B*V, N, S_) fractional positions along the epipolar segment.
@@ -525,13 +578,24 @@ class CoPoNeRF(nn.Module):
                 axis=-1,
             )
 
-            cam_origin_zeros = jnp.zeros_like(query_ray_orig_ex)
-            local_coords = jnp.concatenate(
-                [cam_rays, cam_origin_zeros, ray_dir_s, depth_encode, query_ray_orig_ex], axis=-1
-            )                                                              # 16 channels
-            lc_tok = tokf(local_coords.reshape(B * V, n_rays, S_, -1), S_)
-
-            coords_embed = self.query_embed_2(nn.relu(self.query_embed(lc_tok)))
+            if fast_embed:
+                # per-sample channels only (7 of 16); per-ray channels ride
+                # in pre1_ray via the split kernels above
+                ps_tok = tokf(
+                    jnp.concatenate([cam_rays, depth_encode], axis=-1)
+                    .reshape(B * V, n_rays, S_, -1),
+                    S_,
+                )
+                lc_tok = ps_tok
+                pre1 = add_perray(ps_tok @ qe_ps, pre1_ray, S_)
+                coords_embed = self.query_embed_2(nn.relu(pre1))
+            else:
+                cam_origin_zeros = jnp.zeros_like(query_ray_orig_ex)
+                local_coords = jnp.concatenate(
+                    [cam_rays, cam_origin_zeros, ray_dir_s, depth_encode, query_ray_orig_ex], axis=-1
+                )                                                          # 16 channels
+                lc_tok = tokf(local_coords.reshape(B * V, n_rays, S_, -1), S_)
+                coords_embed = self.query_embed_2(nn.relu(self.query_embed(lc_tok)))
             ce = coords_embed.reshape(*tg_, -1)
             dot1 = jnp.sum(kv_bv.astype(jnp.float32) * ce, axis=-1) / 11.31  # (*tg_)
             return {
@@ -580,15 +644,17 @@ class CoPoNeRF(nn.Module):
             if smaj:
                 # Pallas streaming reduction: XLA reassociates the
                 # (multiply, reduce) chain into two stages with a f32 copy of
-                # the whole 832-wide activation (3.5 GB/pass, trace-verified)
+                # the whole 832-wide activation (3.5 GB/pass, trace-verified).
+                # vsum=V folds the view-row sum into the kernel (r5: the
+                # separate per-view f32 outputs + XLA reduce cost ~8.6
+                # ms/image in re-read bandwidth)
                 from coponerf_tpu.ops.pallas.weighted_sum import weighted_sum_smaj
 
                 w = w_bv.reshape(B * V, n_rays, S_)
-                per_view = weighted_sum_smaj(pre, w, S_)                   # (B*V, N, C)
-            else:
-                w = w_bv.reshape(B * V, n_rays, S_, 1).astype(pre.dtype)
-                rw = pre.reshape(B * V, n_rays, S_, -1) * w
-                per_view = jnp.sum(rw, axis=2, dtype=jnp.float32)          # (B*V, N, C)
+                return weighted_sum_smaj(pre, w, S_, vsum=V)               # (B, N, C)
+            w = w_bv.reshape(B * V, n_rays, S_, 1).astype(pre.dtype)
+            rw = pre.reshape(B * V, n_rays, S_, -1) * w
+            per_view = jnp.sum(rw, axis=2, dtype=jnp.float32)              # (B*V, N, C)
             return jnp.sum(per_view.reshape(B, V, n_rays, -1), axis=1)
 
         def weighted_latent(w_list):
@@ -619,8 +685,25 @@ class CoPoNeRF(nn.Module):
             z_embed = self.encode_latent(z_sum)                            # (B, N, 128)
             C_ze = z_embed.shape[-1]
             dots2 = []
+            if fast_embed:
+                # ze is per-RAY and identical across view rows: its kernel
+                # block runs once on (B, N) tokens instead of (rows, T);
+                # the old concat([ze_bv, lc]) f32-promoted a (rows, T,
+                # ze+16)-wide matmul input per stage
+                ze_part = z_embed.astype(jnp.float32) @ qre_z              # (B, N, 128)
+                ze_rows = jnp.broadcast_to(
+                    ze_part[:, None], (B, V) + ze_part.shape[1:]
+                ).reshape(B * V, n_rays, -1)
+                pre2_ray_full = pre2_ray + ze_rows                         # (B*V, N, 128)
             for st in stages:
                 S_, tg_ = st["S"], st["tg"]
+                if fast_embed:
+                    pre2 = add_perray(st["lc_tok"] @ qre_ps, pre2_ray_full, S_)
+                    emb2 = self.query_repeat_embed_2(nn.relu(pre2))
+                    dots2.append(
+                        jnp.sum(emb2.reshape(*tg_, -1) * st["ce"], axis=-1) / 11.31
+                    )
+                    continue
                 if smaj:
                     ze = jnp.broadcast_to(z_embed[:, None, :, :], (B, S_, n_rays, C_ze))
                 else:

@@ -22,6 +22,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _mt_separable(x, y, r0, n_rows, block_p, w_img):
+    """Separable selection-matrix build: bilinear 2x2 weights factor into a
+    2-hot ROW vector (within the chunk's n_rows image-row window starting at
+    r0) and a 2-hot COLUMN vector, combined by ONE broadcast multiply.  The
+    flat build comparison-selects 4 corners over the full (block_hw, block_p)
+    area (~12 VPU passes); this does 4-passes over the tiny (w_img|n_rows,
+    block_p) factors plus a single block-area multiply — the M-build was the
+    dominant per-step cost at the small grids (r5 trace: the 16^2-level call
+    ran at ~3x its compute bound).
+
+    Out-of-range corners need no masking here: a corner row/col outside the
+    iota window simply matches nothing, and row/col aliasing (the flat build's
+    idx=-1 guard) cannot happen because the axes are separated."""
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (w_img, block_p), 0)
+    mx = jnp.where(xi == x0[None, :], (1.0 - wx)[None, :], 0.0)
+    mx = mx + jnp.where(xi == (x0 + 1)[None, :], wx[None, :], 0.0)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (n_rows, block_p), 0) + r0
+    my = jnp.where(yi == y0[None, :], (1.0 - wy)[None, :], 0.0)
+    my = my + jnp.where(yi == (y0 + 1)[None, :], wy[None, :], 0.0)
+    return (my[:, None, :] * mx[None, :, :]).reshape(n_rows * w_img, block_p)
+
+
 def _kernel_xy(xy_ref, table_ref, out_ref, *, block_p, block_hw, w_img, zeros_mode):
     """One-hot sampling with corners/weights computed IN-KERNEL from pixel
     x/y vectors.  The (B, P, 4) corner-id/weight tensors of the original
@@ -35,26 +63,30 @@ def _kernel_xy(xy_ref, table_ref, out_ref, *, block_p, block_hw, w_img, zeros_mo
     h = pl.program_id(2)
     x = xy_ref[0, 0, :]                   # (block_p,) pixel coords, pre-clamped
     y = xy_ref[0, 1, :]
-    x0f = jnp.floor(x)
-    y0f = jnp.floor(y)
-    wx = x - x0f
-    wy = y - y0f
-    x0 = x0f.astype(jnp.int32)
-    y0 = y0f.astype(jnp.int32)
-    ids = jax.lax.broadcasted_iota(jnp.int32, (block_hw, block_p), 0) + h * block_hw
-    mt = jnp.zeros((block_hw, block_p), jnp.float32)
-    for a in (0, 1):
-        for b in (0, 1):
-            wc = (wx if b else 1.0 - wx) * (wy if a else 1.0 - wy)
-            xi = x0 + b
-            yi = y0 + a
-            idx = yi * w_img + xi
-            if zeros_mode:
-                # out-of-range corners contribute nothing.  yi >= H gives
-                # idx >= HW (never matches); xi outside [0, W) or yi < 0
-                # would ALIAS another cell's id, so force a non-id
-                idx = jnp.where((xi >= 0) & (xi < w_img) & (yi >= 0), idx, -1)
-            mt = mt + jnp.where(ids == idx[None, :], wc[None, :], 0.0)
+    if block_hw % w_img == 0:
+        n_rows = block_hw // w_img
+        mt = _mt_separable(x, y, h * n_rows, n_rows, block_p, w_img)
+    else:
+        x0f = jnp.floor(x)
+        y0f = jnp.floor(y)
+        wx = x - x0f
+        wy = y - y0f
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (block_hw, block_p), 0) + h * block_hw
+        mt = jnp.zeros((block_hw, block_p), jnp.float32)
+        for a in (0, 1):
+            for b in (0, 1):
+                wc = (wx if b else 1.0 - wx) * (wy if a else 1.0 - wy)
+                xi = x0 + b
+                yi = y0 + a
+                idx = yi * w_img + xi
+                if zeros_mode:
+                    # out-of-range corners contribute nothing.  yi >= H gives
+                    # idx >= HW (never matches); xi outside [0, W) or yi < 0
+                    # would ALIAS another cell's id, so force a non-id
+                    idx = jnp.where((xi >= 0) & (xi < w_img) & (yi >= 0), idx, -1)
+                mt = mt + jnp.where(ids == idx[None, :], wc[None, :], 0.0)
     part = jax.lax.dot_general(
         mt.astype(jnp.bfloat16), table_ref[0].astype(jnp.bfloat16),
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -97,23 +129,27 @@ def _kernel_xy_banded(band_ref, xy_ref, table_ref, out_ref, *, block_p, block_hw
     def _():
         x = xy_ref[0, 0, :]
         y = xy_ref[0, 1, :]
-        x0f = jnp.floor(x)
-        y0f = jnp.floor(y)
-        wx = x - x0f
-        wy = y - y0f
-        x0 = x0f.astype(jnp.int32)
-        y0 = y0f.astype(jnp.int32)
-        ids = jax.lax.broadcasted_iota(jnp.int32, (block_hw, block_p), 0) + h * block_hw
-        mt = jnp.zeros((block_hw, block_p), jnp.float32)
-        for a in (0, 1):
-            for c in (0, 1):
-                wc = (wx if c else 1.0 - wx) * (wy if a else 1.0 - wy)
-                xi = x0 + c
-                yi = y0 + a
-                idx = yi * w_img + xi
-                if zeros_mode:
-                    idx = jnp.where((xi >= 0) & (xi < w_img) & (yi >= 0), idx, -1)
-                mt = mt + jnp.where(ids == idx[None, :], wc[None, :], 0.0)
+        if block_hw % w_img == 0:
+            n_rows = block_hw // w_img
+            mt = _mt_separable(x, y, h * n_rows, n_rows, block_p, w_img)
+        else:
+            x0f = jnp.floor(x)
+            y0f = jnp.floor(y)
+            wx = x - x0f
+            wy = y - y0f
+            x0 = x0f.astype(jnp.int32)
+            y0 = y0f.astype(jnp.int32)
+            ids = jax.lax.broadcasted_iota(jnp.int32, (block_hw, block_p), 0) + h * block_hw
+            mt = jnp.zeros((block_hw, block_p), jnp.float32)
+            for a in (0, 1):
+                for c in (0, 1):
+                    wc = (wx if c else 1.0 - wx) * (wy if a else 1.0 - wy)
+                    xi = x0 + c
+                    yi = y0 + a
+                    idx = yi * w_img + xi
+                    if zeros_mode:
+                        idx = jnp.where((xi >= 0) & (xi < w_img) & (yi >= 0), idx, -1)
+                    mt = mt + jnp.where(ids == idx[None, :], wc[None, :], 0.0)
         part = jax.lax.dot_general(
             mt.astype(jnp.bfloat16), table_ref[0].astype(jnp.bfloat16),
             dimension_numbers=(((0,), (0,)), ((), ())),

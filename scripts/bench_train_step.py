@@ -39,12 +39,15 @@ FUSED_CONV = "--no_fused_conv" not in sys.argv
 FLAT_OPT = "--flat_opt" in sys.argv
 # A/B the scan-rolled UFC stages (stacked layer params, one trace per stage)
 UFC_SCAN = "--ufc_scan" in sys.argv
+# A/B the small-level one-hot MXU train sampler (vs the XLA patch gather)
+ONEHOT_SMALL = "--no_onehot_small" not in sys.argv
 
 
 def main():
     cfg = Config(
         model=ModelConfig(compute_dtype="bfloat16", fast_sampling=True, remat_ufc=REMAT,
-                          convmap_direct_grad=FUSED_CONV, ufc_scan=UFC_SCAN),
+                          convmap_direct_grad=FUSED_CONV, ufc_scan=UFC_SCAN,
+                          train_onehot_small=ONEHOT_SMALL),
         loss=LossConfig(pose=True, cycle=True, ssim=True),
         train=TrainConfig(flat_optimizer=FLAT_OPT),
     )

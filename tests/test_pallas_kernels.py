@@ -108,6 +108,13 @@ def test_weighted_sum_smaj_matches_einsum():
     ref = np.einsum("rns,rsnc->rnc", np.asarray(w),
                     np.asarray(pre.astype(jnp.float32)).reshape(R, S, N, C))
     np.testing.assert_allclose(got, ref, atol=1e-2, rtol=1e-2)
+    # fused view-sum variant (R = B*V rows summed in-kernel)
+    got_v = np.asarray(weighted_sum_smaj(pre, w, S, vsum=2))
+    np.testing.assert_allclose(got_v, ref.reshape(1, 2, N, C).sum(axis=1),
+                               atol=1e-2, rtol=1e-2)
+    # explicit small block_n exercises the out-block revisit accumulation
+    got_vb = np.asarray(weighted_sum_smaj(pre, w, S, block_n=32, vsum=2))
+    np.testing.assert_allclose(got_vb, got_v, atol=1e-3, rtol=1e-3)
 
 
 @pytest.mark.parametrize("mode", ["border", "zeros"])
