@@ -11,6 +11,7 @@ x-flow, channel 1 = y-flow, in pixels.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from coponerf_tpu.ops.grid_sample import grid_sample_dense_nchw
@@ -70,6 +71,49 @@ def cyclic_consistency_masks(flow_fwd: jnp.ndarray, flow_bwd: jnp.ndarray, out_s
     mask_fwd = err_fwd & get_gt_correspondence_mask(up_fwd)
     mask_bwd = err_bwd & get_gt_correspondence_mask(up_bwd)
     return up_fwd, up_bwd, mask_fwd, mask_bwd
+
+
+def ssim_warp_packed(
+    im0: jnp.ndarray,
+    im1: jnp.ndarray,
+    flow_fwd: jnp.ndarray,
+    flow_bwd: jnp.ndarray,
+    out_size: int = 256,
+    threshold: float = 10.0,
+    scale: float | None = None,
+):
+    """The SSIM-loss warp block with the image warp and the consistency-flow
+    warp PACKED into one 5-channel gather per direction — they share the warp
+    grid, so this halves the loss block's gather count (the 8 loss-side warp
+    gathers were ~42 ms/step at batch 6, all index-rate-bound; trace r5).
+
+    Returns (warped_im1, warped_im0, mask_fwd, mask_bwd), numerically
+    identical to cyclic_consistency_masks + two separate warp() calls: the
+    gather fetches the same corners with the same weights and bilinear
+    blending is per-channel independent.  The packed operand's flow channels
+    are stop_gradient'ed — their warped values feed only the boolean
+    consistency test (zero cotangent in the unpacked form too), and keeping
+    them live would force autodiff to build a dense operand-scatter for the
+    whole packed tensor where the unpacked form needs none.  (The r4
+    measured-negative C=5 packing was the PATCH formulation, whose (P,2,2,C)
+    temporaries tile-pad ~43x; the row-pair layout pads the sublane pair
+    4x packed or not, so packing is footprint-neutral here.)
+    """
+    h = flow_fwd.shape[-2]
+    if scale is None:
+        scale = out_size / h
+    up_fwd = resize_nchw(flow_fwd, (out_size, out_size), align_corners=False) * scale
+    up_bwd = resize_nchw(flow_bwd, (out_size, out_size), align_corners=False) * scale
+    pf = warp(jnp.concatenate([im1, jax.lax.stop_gradient(up_bwd)], axis=1), up_fwd)
+    pb = warp(jnp.concatenate([im0, jax.lax.stop_gradient(up_fwd)], axis=1), up_bwd)
+    c_im = im0.shape[1]
+    warped_im1, warped_bwd = pf[:, :c_im], pf[:, c_im:]
+    warped_im0, warped_fwd = pb[:, :c_im], pb[:, c_im:]
+    err_fwd = jnp.linalg.norm(up_fwd + warped_bwd, axis=1) <= threshold
+    err_bwd = jnp.linalg.norm(up_bwd + warped_fwd, axis=1) <= threshold
+    mask_fwd = err_fwd & get_gt_correspondence_mask(up_fwd)
+    mask_bwd = err_bwd & get_gt_correspondence_mask(up_bwd)
+    return warped_im1, warped_im0, mask_fwd, mask_bwd
 
 
 def flow2kps(trg_kps: jnp.ndarray, flow: jnp.ndarray, n_pts: int, upsample_size: tuple[int, int] = (256, 256)):

@@ -86,19 +86,16 @@ def lf_loss(
         h = flow_f.shape[-2]
         ctx_rgb = model_input["context"]["rgb"]
         out_size = ctx_rgb.shape[2]  # 256 in the reference (loss_function.py:112)
-        # NOTE: packing the image warp and the consistency-mask warp into one
-        # C=5 gather per direction was measured-NEGATIVE: the (P, 2, 2, C)
-        # bilinear patch temporaries pad to the (8,128) tile regardless of C
-        # (~768M-1.9G each at 256^2 batch 6), and the packed variant put three
-        # of them live at the peak — 26 MB past the 15.75G HBM budget at the
-        # no-remat batch-6 fit.  Separate warps keep the peak under budget.
-        up_f, up_b, mask_f, mask_b = flow_ops.cyclic_consistency_masks(
-            flow_f, flow_b, out_size=out_size, scale=out_size / h
-        )
         im0 = jnp.transpose(ctx_rgb[:, 0], (0, 3, 1, 2))
         im1 = jnp.transpose(ctx_rgb[:, 1], (0, 3, 1, 2))
-        s1 = masked_ssim_loss(flow_ops.warp(im1, up_f), im0, mask_f[:, None].astype(im0.dtype))
-        s2 = masked_ssim_loss(flow_ops.warp(im0, up_b), im1, mask_b[:, None].astype(im0.dtype))
+        # image + consistency-flow warps packed per direction (they share the
+        # warp grid) — identical numerics, half the gather count; see
+        # flow.ssim_warp_packed for why the r4 patch-formulation packing lost
+        w1, w0, mask_f, mask_b = flow_ops.ssim_warp_packed(
+            im0, im1, flow_f, flow_b, out_size=out_size, scale=out_size / h
+        )
+        s1 = masked_ssim_loss(w1, im0, mask_f[:, None].astype(im0.dtype))
+        s2 = masked_ssim_loss(w0, im1, mask_b[:, None].astype(im0.dtype))
         losses["ssim_loss"] = cfg.w_ssim * (s1 + s2) / 2.0
 
     if cfg.cycle:

@@ -338,3 +338,45 @@ def test_warp_matches_torch_oracle():
         mode="bilinear", padding_mode="zeros", align_corners=False,
     ).numpy()
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_ssim_warp_packed_matches_unpacked():
+    """flow.ssim_warp_packed == cyclic_consistency_masks + separate image
+    warps: identical warped images/masks AND identical flow gradients (the
+    packed operand's flow channels are stop_gradient'ed; in the unpacked form
+    their only consumer is a boolean, so the cotangent is zero either way)."""
+    from coponerf_tpu import flow as flow_ops
+
+    im0 = jnp.asarray(RNG.randn(2, 3, 16, 16).astype(np.float32))
+    im1 = jnp.asarray(RNG.randn(2, 3, 16, 16).astype(np.float32))
+    ff = jnp.asarray((RNG.randn(2, 2, 4, 4) * 2).astype(np.float32))
+    fb = jnp.asarray((RNG.randn(2, 2, 4, 4) * 2).astype(np.float32))
+
+    def unpacked(ff, fb):
+        up_f, up_b, mask_f, mask_b = flow_ops.cyclic_consistency_masks(
+            ff, fb, out_size=16, scale=16 / 4
+        )
+        return flow_ops.warp(im1, up_f), flow_ops.warp(im0, up_b), mask_f, mask_b
+
+    def packed(ff, fb):
+        return flow_ops.ssim_warp_packed(im0, im1, ff, fb, out_size=16, scale=16 / 4)
+
+    w1_u, w0_u, mf_u, mb_u = unpacked(ff, fb)
+    w1_p, w0_p, mf_p, mb_p = packed(ff, fb)
+    np.testing.assert_allclose(np.asarray(w1_p), np.asarray(w1_u), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w0_p), np.asarray(w0_u), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mf_p), np.asarray(mf_u))
+    np.testing.assert_array_equal(np.asarray(mb_p), np.asarray(mb_u))
+
+    def loss_u(ff, fb):
+        w1, w0, mf, mb = unpacked(ff, fb)
+        return jnp.sum(w1**2 * mf[:, None]) + jnp.sum(w0**2 * mb[:, None])
+
+    def loss_p(ff, fb):
+        w1, w0, mf, mb = packed(ff, fb)
+        return jnp.sum(w1**2 * mf[:, None]) + jnp.sum(w0**2 * mb[:, None])
+
+    gu = jax.grad(loss_u, argnums=(0, 1))(ff, fb)
+    gp = jax.grad(loss_p, argnums=(0, 1))(ff, fb)
+    for a, b in zip(gp, gu):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
