@@ -75,6 +75,11 @@ class ModelConfig:
     # trace); the kernel consumes two flat (B*V, P) f32 vectors.  Backward is
     # the same one-hot transpose matmul either way.  Fast-sampling train only.
     train_onehot_small: bool = True
+    # Fused dual-axis Pallas soft-argmax for the UFC flow extraction
+    # (2 streaming passes over the 400 MB correlation volume instead of ~14
+    # plus a layout transpose; values f32-round-off-equal).  Follows
+    # fast_sampling when None so parity configs keep the jnp op order.
+    fused_argmax: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -86,6 +86,9 @@ class CoPoNeRF(nn.Module):
             layer_nums=tuple(c.ufc_layer_nums),
             dtype=ufc_dt,
             scan_layers=c.ufc_scan,
+            fused_argmax=(
+                c.fast_sampling if c.fused_argmax is None else c.fused_argmax
+            ),
             name="feature_cost_aggregation",
         )
         self.cross_attention = CrossBlock(name="cross_attention")
@@ -126,9 +129,14 @@ class CoPoNeRF(nn.Module):
         # fused chain)
         self.key_map_2 = RawDense(hid, in_features=hid, dtype=cd, name="key_map_2")
         self.query_embed = RawDense(hid, in_features=16, name="query_embed")
-        self.query_embed_2 = RawDense(hid, in_features=hid, name="query_embed_2")
+        # stage-2 embed matmuls in the compute dtype: at f32 these were the
+        # widest per-sample f32 writes left in the fast render (537 MB/chunk
+        # each, trace r5); cd=None in the parity config so the exact path's
+        # float op order is untouched.  Logit accumulation stays f32 at the
+        # dot1/dots2 reductions below.
+        self.query_embed_2 = RawDense(hid, in_features=hid, dtype=cd, name="query_embed_2")
         self.query_repeat_embed = RawDense(hid, in_features=hid + 16, name="query_repeat_embed")
-        self.query_repeat_embed_2 = RawDense(hid, in_features=hid, name="query_repeat_embed_2")
+        self.query_repeat_embed_2 = RawDense(hid, in_features=hid, dtype=cd, name="query_repeat_embed_2")
         self.encode_latent = RawDense(hid, in_features=half, name="encode_latent")
         self.phi = ResnetFC(
             d_in=c.n_view * 9, d_out=3, n_blocks=3, d_latent=half * c.n_view,
@@ -315,13 +323,18 @@ class CoPoNeRF(nn.Module):
                 # keeps HBM headroom and exact table gradients.
                 hw = z.shape[1] * z.shape[2]
                 if smaj and hw <= 4096:
-                    # 1024-point blocks quarter the grid-step count (the
-                    # small levels are step-overhead-bound at ~1.6 us/step);
-                    # bands stay narrow because 1024 s-major tokens span
-                    # only ~4 image rows of rays
+                    # block_p per level from the r5 exact-shape sweep
+                    # (scripts/probe_r5_kernels.py): bigger point blocks
+                    # amortize the per-grid-step overhead and table reload —
+                    # 16^2: 1.72 -> 1.38 ms and 32^2: 2.63 -> 1.95 ms at
+                    # bp=4096.  Caps: inside the full render graph (extra
+                    # double-buffering vs the standalone probe) bp=8192 at
+                    # 16^2 and bp=4096 at 64^2's bhw=1024 blow the ~16 MB
+                    # scoped-vmem stack, so 64^2 keeps bp=2048.
                     return grid_sample_onehot(
                         z, p, padding_mode=mode, out_dtype=jnp.bfloat16,
-                        banded=True, block_hw=max(256, hw // 4), block_p=2048,
+                        banded=True, block_hw=max(256, hw // 4),
+                        block_p=4096 if hw <= 1024 else 2048,
                     )
                 if train and hw <= 4096 and cfg.train_onehot_small:
                     # training (ray-major tokens): the small levels use the
@@ -476,9 +489,12 @@ class CoPoNeRF(nn.Module):
         if fast_embed:
             _ps_rows = jnp.array([0, 1, 2, 9, 10, 11, 12])
             qe_k, qe_b = self.query_embed.kernel, self.query_embed.bias
-            qe_ps, qe_rd, qe_qo = qe_k[_ps_rows], qe_k[6:9], qe_k[13:16]
+            # per-sample kernel blocks in the compute dtype (the per-ray
+            # pieces stay f32 — they live at N tokens, cheap); cd=f32 in
+            # exact configs so the parity path is untouched
+            qe_ps, qe_rd, qe_qo = qe_k[_ps_rows].astype(cd), qe_k[6:9], qe_k[13:16]
             qro_row = query_ray_orig[:, :, 0, :]                           # (B*V, 1, 3)
-            pre1_ray = ray_dir @ qe_rd + qro_row @ qe_qo + qe_b            # (B*V, N, 128)
+            pre1_ray = (ray_dir @ qe_rd + qro_row @ qe_qo + qe_b).astype(cd)  # (B*V, N, 128)
             if cfg.repeat_attention:
                 qre_k, qre_b = (
                     self.query_repeat_embed.kernel,
@@ -486,7 +502,7 @@ class CoPoNeRF(nn.Module):
                 )
                 ze_dim = qre_k.shape[0] - 16
                 qre_z = qre_k[:ze_dim]
-                qre_ps = qre_k[ze_dim + _ps_rows]
+                qre_ps = qre_k[ze_dim + _ps_rows].astype(cd)
                 qre_rd, qre_qo = qre_k[ze_dim + 6: ze_dim + 9], qre_k[ze_dim + 13:]
                 pre2_ray = ray_dir @ qre_rd + qro_row @ qre_qo + qre_b     # (B*V, N, 128)
 
@@ -585,7 +601,7 @@ class CoPoNeRF(nn.Module):
                     jnp.concatenate([cam_rays, depth_encode], axis=-1)
                     .reshape(B * V, n_rays, S_, -1),
                     S_,
-                )
+                ).astype(cd)
                 lc_tok = ps_tok
                 pre1 = add_perray(ps_tok @ qe_ps, pre1_ray, S_)
                 coords_embed = self.query_embed_2(nn.relu(pre1))
@@ -597,7 +613,10 @@ class CoPoNeRF(nn.Module):
                 lc_tok = tokf(local_coords.reshape(B * V, n_rays, S_, -1), S_)
                 coords_embed = self.query_embed_2(nn.relu(self.query_embed(lc_tok)))
             ce = coords_embed.reshape(*tg_, -1)
-            dot1 = jnp.sum(kv_bv.astype(jnp.float32) * ce, axis=-1) / 11.31  # (*tg_)
+            # logit accumulation in f32 (softmax island); the product runs in
+            # the operand dtype — bitwise-unchanged in f32 configs, and in
+            # bf16 it deletes the f32 copies of both 128-wide operands
+            dot1 = jnp.sum(kv_bv * ce, axis=-1, dtype=jnp.float32) / 11.31  # (*tg_)
             return {
                 "S": S_, "tg": tg_, "pixel_val": pixel_val, "pt": pt,
                 "pre_p": pre_p, "pre_s": pre_s, "ce": ce, "lc_tok": lc_tok,
@@ -694,14 +713,19 @@ class CoPoNeRF(nn.Module):
                 ze_rows = jnp.broadcast_to(
                     ze_part[:, None], (B, V) + ze_part.shape[1:]
                 ).reshape(B * V, n_rays, -1)
-                pre2_ray_full = pre2_ray + ze_rows                         # (B*V, N, 128)
+                # f32 per-ray sum, cast ONCE at N tokens before the T-token
+                # broadcast in add_perray
+                pre2_ray_full = (pre2_ray + ze_rows).astype(cd)            # (B*V, N, 128)
             for st in stages:
                 S_, tg_ = st["S"], st["tg"]
                 if fast_embed:
                     pre2 = add_perray(st["lc_tok"] @ qre_ps, pre2_ray_full, S_)
                     emb2 = self.query_repeat_embed_2(nn.relu(pre2))
                     dots2.append(
-                        jnp.sum(emb2.reshape(*tg_, -1) * st["ce"], axis=-1) / 11.31
+                        jnp.sum(
+                            emb2.reshape(*tg_, -1) * st["ce"],
+                            axis=-1, dtype=jnp.float32,
+                        ) / 11.31
                     )
                     continue
                 if smaj:
@@ -715,7 +739,7 @@ class CoPoNeRF(nn.Module):
                         nn.relu(self.query_repeat_embed(jnp.concatenate([ze_bv, lc], axis=-1)))
                     )
                     * st["ce"],
-                    axis=-1,
+                    axis=-1, dtype=jnp.float32,
                 ) / 11.31)                                                 # (*tg_)
             w2_list, _ = joint_softmax(dots2)
             # per-view partial2 + the (already view-summed) z_sum per slot,

@@ -322,6 +322,11 @@ class UFC(nn.Module):
     # a leading stacked axis — stack_ufc_params()/unstack_ufc_params()
     # convert, and tests pin loop-vs-scan output equality.
     scan_layers: bool = False
+    # Extract both flow directions with the fused dual-axis Pallas
+    # soft-argmax (2 streaming passes over the ~400 MB correlation instead of
+    # ~14 + a full transpose; f32-round-off-equal, pinned in
+    # tests/test_pallas_kernels.py).  Off = the jnp soft_argmax_flat pair.
+    fused_argmax: bool = False
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], nview: int = 2):
@@ -465,9 +470,14 @@ class UFC(nn.Module):
         # tensors — the largest train-step allocations (trace-verified).
         # mapping defined on the SOURCE grid, pointing into the target
         # (softmax over target tokens), and vice versa
-        mapping_fwd = soft_argmax_flat(c[:, 0], axis=2)
+        if self.fused_argmax:
+            from coponerf_tpu.ops.pallas.soft_argmax import soft_argmax_both
+
+            mapping_fwd, mapping_bwd = soft_argmax_both(c[:, 0])
+        else:
+            mapping_fwd = soft_argmax_flat(c[:, 0], axis=2)
+            mapping_bwd = soft_argmax_flat(c[:, 0], axis=1)
         flow = unnormalise_and_convert_mapping_to_flow(mapping_fwd)
-        mapping_bwd = soft_argmax_flat(c[:, 0], axis=1)
         flow_flip = unnormalise_and_convert_mapping_to_flow(mapping_bwd)
 
         return feat_list, (flow, flow_flip, mapping_fwd, mapping_bwd), c

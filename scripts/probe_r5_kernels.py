@@ -51,6 +51,9 @@ def probe_samplers():
             z, pts,
         )
         for bp in (4096, 8192):
+            # selection block (bhw, bp) f32 must fit scoped vmem (~16 MB)
+            if max(256, hw // 4) * bp * 4 > 12 * 1024 * 1024:
+                continue
             t(
                 f"sample {hw_side}^2 C={C} banded bhw={max(256, hw // 4)} bp={bp}",
                 lambda z, p, bp=bp: grid_sample_onehot(

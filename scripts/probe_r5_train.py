@@ -35,6 +35,7 @@ VARIANT_KWARGS = {
     "scan": {"ufc_scan": True},
     "nohot": {"train_onehot_small": False},
     "remat": {"remat_ufc": True},
+    "noargmax": {"fused_argmax": False},
 }
 
 _pos = [a for a in sys.argv[1:] if not a.startswith("-")]

@@ -159,3 +159,35 @@ def test_multilevel_banded_sample_matches_exact(mode):
             np.asarray(got).reshape(ref.shape), ref, atol=2e-2)
         scale = np.abs(ref).mean() + 1e-6
         assert np.abs(np.asarray(got).reshape(ref.shape) - ref).mean() / scale < 5e-3
+
+
+def test_soft_argmax_both_matches_flat():
+    """Fused dual-axis soft-argmax == the soft_argmax_flat pair (values and
+    gradients; the online-softmax rescaling only reassociates f32 sums)."""
+    from coponerf_tpu.ops.correlation import soft_argmax_flat
+    from coponerf_tpu.ops.pallas.soft_argmax import soft_argmax_both
+
+    rng = np.random.RandomState(3)
+    c = jnp.asarray(rng.randn(2, 256, 64).astype(np.float32) * 3)
+
+    mf, mb = soft_argmax_both(c)
+    np.testing.assert_allclose(
+        np.asarray(mf), np.asarray(soft_argmax_flat(c, axis=2)), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(mb), np.asarray(soft_argmax_flat(c, axis=1)), atol=1e-5
+    )
+
+    def loss_flat(c):
+        return (
+            jnp.sum(jnp.sin(soft_argmax_flat(c, axis=2)))
+            + jnp.sum(soft_argmax_flat(c, axis=1) ** 2)
+        )
+
+    def loss_both(c):
+        a, b = soft_argmax_both(c)
+        return jnp.sum(jnp.sin(a)) + jnp.sum(b ** 2)
+
+    g1 = jax.grad(loss_flat)(c)
+    g2 = jax.grad(loss_both)(c)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-4)
