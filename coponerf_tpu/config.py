@@ -77,8 +77,12 @@ class ModelConfig:
     train_onehot_small: bool = True
     # Fused dual-axis Pallas soft-argmax for the UFC flow extraction
     # (2 streaming passes over the 400 MB correlation volume instead of ~14
-    # plus a layout transpose; values f32-round-off-equal).  Follows
-    # fast_sampling when None so parity configs keep the jnp op order.
+    # plus a layout transpose; values f32-round-off-equal).  MEASURED
+    # NEGATIVE on v5e (interleaved A/B: 185 vs 175 ms/step at batch 3,
+    # +17 ms at batch 6, compile 628 vs 281 s — the online column
+    # accumulation forces q-sequential grid execution, defeating the
+    # latency hiding XLA's multi-pass softmax gets for free).  Kept as
+    # tested infrastructure; None resolves to OFF.
     fused_argmax: Optional[bool] = None
 
 

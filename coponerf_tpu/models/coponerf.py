@@ -86,9 +86,7 @@ class CoPoNeRF(nn.Module):
             layer_nums=tuple(c.ufc_layer_nums),
             dtype=ufc_dt,
             scan_layers=c.ufc_scan,
-            fused_argmax=(
-                c.fast_sampling if c.fused_argmax is None else c.fused_argmax
-            ),
+            fused_argmax=bool(c.fused_argmax),
             name="feature_cost_aggregation",
         )
         self.cross_attention = CrossBlock(name="cross_attention")
