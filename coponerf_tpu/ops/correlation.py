@@ -88,13 +88,19 @@ def soft_argmax_flat(logits: jnp.ndarray, axis: int, beta: float = 0.02) -> jnp.
     m = Q if axis == 2 else S
     hm = int(round(m ** 0.5))
     wm = m // hm
-    p = softmax_with_temperature(logits, beta=beta, axis=axis)
+    # softmax with the division DEFERRED past the coordinate dots: the
+    # expectation is (e @ xv) / sum(e), so the normalized p volume never
+    # materializes (one full write + two reads of the ~400 MB tensor saved;
+    # same value up to f32 summation order)
+    mx = jnp.max(logits, axis=axis, keepdims=True)
+    e = jnp.exp((logits - mx) / beta)
+    z = jnp.sum(e, axis=axis)
     ar = jnp.arange(n)
     xv = jnp.linspace(-1.0, 1.0, ws, dtype=logits.dtype)[ar % ws]
     yv = jnp.linspace(-1.0, 1.0, hs, dtype=logits.dtype)[ar // ws]
     spec = "bqs,s->bq" if axis == 2 else "bqs,q->bs"
-    gx = jnp.einsum(spec, p, xv, precision="highest")
-    gy = jnp.einsum(spec, p, yv, precision="highest")
+    gx = jnp.einsum(spec, e, xv, precision="highest") / z
+    gy = jnp.einsum(spec, e, yv, precision="highest") / z
     return jnp.stack([gx, gy], axis=1).reshape(b, 2, hm, wm)
 
 

@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-leaf Adam kernel tail; optimizer-state layout "
                         "differs from the default (checkpoints not "
                         "interchangeable)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="param-init PRNG seed (independent training seeds "
+                        "for the PARITY quality gates)")
     p.add_argument("--ufc_scan", action="store_true", default=False,
                    help="roll each UFC stage's layers into one lax.scan over "
                         "stacked params: same math, smaller HLO / faster "
@@ -159,6 +162,7 @@ def main():
             steps_per_epoch=steps_per_epoch,
             flat_optimizer=opt.flat_opt,
             debug_nans=opt.debug_nans,
+            seed=opt.seed,
         ),
         logging_root=opt.logging_root,
         experiment_name=opt.experiment_name,
