@@ -70,6 +70,18 @@ def probe_samplers():
                 ),
                 z, pts,
             )
+        if hw == 4096:
+            # bhw sweep at 64^2: narrower bands = finer skip granularity
+            for bhw, bp in ((512, 2048), (512, 4096), (2048, 2048)):
+                if bhw * bp * 4 > 12 * 1024 * 1024:
+                    continue
+                t(
+                    f"sample {hw_side}^2 C={C} banded bhw={bhw} bp={bp}",
+                    lambda z, p, bhw=bhw, bp=bp: grid_sample_onehot(
+                        z, p, banded=True, block_hw=bhw, block_p=bp, **base
+                    ),
+                    z, pts,
+                )
 
 
 def probe_wsum():
